@@ -1,0 +1,227 @@
+"""Shared learner infrastructure: config, device data bundles, eval, logs.
+
+Mirrors the responsibilities of the reference's abstract ``fm_learn``
+(``src/libfm/src/fm_learn.h:38-265``): task handling, clamped evaluation
+(RMSE/MAE), classification accuracy + log10-likelihood, and the auto-named
+per-iteration trajectory files (``test_rmse_<k0><k1><K>_<method>`` etc.).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from svbfm_tpu.data.dataset import SparseDataset, SweepPlan
+from svbfm_tpu.data.meta import DataMetaInfo
+from svbfm_tpu.parallel.mesh import DATA_AXIS, data_spec, make_mesh, put_replicated, replicated, shard_rows
+
+TASK_REGRESSION = 0
+TASK_CLASSIFICATION = 1
+TASK_POISSON = 2
+
+
+@dataclass(frozen=True)
+class FMConfig:
+    """Static learner configuration (hashable; closed over by jitted steps)."""
+
+    num_attributes: int
+    num_factor: int
+    k0: bool = True
+    k1: bool = True
+    task: int = TASK_REGRESSION
+    min_target: float = -np.inf
+    max_target: float = np.inf
+    num_groups: int = 1
+    num_iter: int = 100
+    seed: int = 0
+    init_stdev: float = 0.1
+    # method-specific knobs (kept here so the CLI maps 1:1)
+    learn_rate: float = 0.1
+    reg0: float = 0.0
+    regw: float = 0.0
+    regv: float = 0.0
+    do_sample: bool = True
+    do_multilevel: bool = True
+    num_batches: int = 50  # online methods' epoch chunking (-batch flag)
+    batch_size: int = 0  # SGD minibatch size; 0 = full vectorized "per-example" epoch
+    stdev: float = 1.0  # exp-SGD residual scale (-stdev flag)
+
+    @property
+    def dim_tag(self) -> str:
+        return f"{int(self.k0)}{int(self.k1)}{self.num_factor}"
+
+
+@struct.dataclass
+class RowData:
+    """Row-layout device arrays (sharded over the data axis)."""
+
+    ids: jax.Array  # int32 [N, P]
+    vals: jax.Array  # f32 [N, P]
+    target: jax.Array  # f32 [N]
+    valid: jax.Array  # f32 [N] 1.0 for real rows, 0.0 for shard padding
+
+
+@struct.dataclass
+class PlanData:
+    """SweepPlan device arrays.  Entry arrays are sharded on axis 0."""
+
+    rows: jax.Array  # int32 [S, B, M]
+    x: jax.Array  # f32 [S, B, M]
+    seg: jax.Array  # int32 [S, B, M]
+    cols: jax.Array  # int32 [B, C] (replicated)
+    col_group: jax.Array  # int32 [B, C]
+    col_valid: jax.Array  # f32 [B, C]
+    sx2: jax.Array  # f32 [B, C]
+    cnt: jax.Array  # f32 [B, C]
+    col_count: jax.Array  # f32 [B, C]
+    attr_group: jax.Array  # int32 [D]
+    num_attr_per_group: jax.Array  # f32 [G]
+    unobserved: jax.Array  # bool [D]
+
+
+def build_row_data(mesh, ds: SparseDataset):
+    """Returns (RowData, num_cases)."""
+    n = mesh.devices.size
+    ds = ds.padded_to(n)
+    valid = (np.arange(ds.ids.shape[0]) < ds.num_rows).astype(np.float32)
+    return RowData(
+        ids=shard_rows(mesh, ds.ids),
+        vals=shard_rows(mesh, ds.vals),
+        target=shard_rows(mesh, ds.target),
+        valid=shard_rows(mesh, valid),
+    ), ds.num_rows
+
+
+def build_plan_data(mesh, plan: SweepPlan, meta: DataMetaInfo) -> PlanData:
+    return PlanData(
+        rows=shard_rows(mesh, plan.rows),
+        x=shard_rows(mesh, plan.x),
+        seg=shard_rows(mesh, plan.seg),
+        cols=put_replicated(mesh, plan.cols),
+        col_group=put_replicated(mesh, plan.col_group),
+        col_valid=put_replicated(mesh, plan.col_valid.astype(np.float32)),
+        sx2=put_replicated(mesh, plan.sx2),
+        cnt=put_replicated(mesh, plan.cnt),
+        col_count=put_replicated(mesh, plan.col_count),
+        attr_group=put_replicated(mesh, meta.attr_group),
+        num_attr_per_group=put_replicated(mesh, meta.num_attr_per_group.astype(np.float32)),
+        unobserved=put_replicated(mesh, plan.unobserved),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity numeric helpers
+# ---------------------------------------------------------------------------
+
+def ref_erf(x):
+    """Abramowitz-Stegun 7.1.26 polynomial erf — the reference's ``erf``
+    (``src/util/random.h:47-62``), kept bit-compatible for curve parity."""
+    t = 1.0 / (1.0 + 0.3275911 * jnp.abs(x))
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    r = 1.0 - poly * jnp.exp(-x * x)
+    return jnp.where(x >= 0, r, -r)
+
+
+def ref_cdf_gaussian(x):
+    return 0.5 + 0.5 * ref_erf(0.707106781 * x)
+
+
+def truncnorm_mean_positive(mu):
+    """E[z | z>0], z~N(mu,1) with the reference's constants
+    (``fm_learn_vb_simultaneous.h:184-188``)."""
+    phi = jnp.exp(-mu * mu / 2.0) / jnp.sqrt(3.141 * 2)
+    Phi = ref_cdf_gaussian(-mu)
+    return mu + phi / (1 - Phi)
+
+
+def truncnorm_mean_negative(mu):
+    phi = jnp.exp(-mu * mu / 2.0) / jnp.sqrt(3.141 * 2)
+    Phi = ref_cdf_gaussian(-mu)
+    return mu - phi / Phi
+
+
+def keep_finite(new, old):
+    """The reference's NaN/Inf revert guard (e.g. fm_learn_vb.h:545-565)."""
+    return jnp.where(jnp.isfinite(new), new, old)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation (reference _evaluate / _evaluate_class semantics)
+# ---------------------------------------------------------------------------
+
+def evaluate_regression(pred, target, min_target, max_target, normalizer=1.0,
+                        num_eval_cases: Optional[int] = None):
+    pred = np.asarray(pred, dtype=np.float64)
+    target = np.asarray(target, dtype=np.float64)
+    if num_eval_cases is not None:
+        pred, target = pred[:num_eval_cases], target[:num_eval_cases]
+    p = np.clip(pred * normalizer, min_target, max_target)
+    err = p - target
+    return float(np.sqrt(np.mean(err**2))), float(np.mean(np.abs(err)))
+
+
+def evaluate_classification(prob, target, normalizer=1.0,
+                            num_eval_cases: Optional[int] = None):
+    """Accuracy + negative mean log10-likelihood (fm_learn_*_simultaneous)."""
+    prob = np.asarray(prob, dtype=np.float64)
+    target = np.asarray(target, dtype=np.float64)
+    if num_eval_cases is not None:
+        prob, target = prob[:num_eval_cases], target[:num_eval_cases]
+    p = prob * normalizer
+    acc = np.mean(((p >= 0.5) & (target > 0)) | ((p < 0.5) & (target < 0)))
+    m = (target + 1.0) * 0.5
+    pll = np.clip(p, 0.01, 0.99)
+    ll = -np.mean(m * np.log10(pll) + (1 - m) * np.log10(1 - pll))
+    return float(acc), float(ll)
+
+
+def map_at_k(pred, user_ids, item_ids, positives: dict, k: int = 5):
+    """MAP@k over per-user ranked predictions (fm_learn.h:185-240).
+
+    positives: {user_id: set(item_id)} of positively-rated items.
+    """
+    order = np.argsort(user_ids, kind="stable")
+    users, items, preds = user_ids[order], item_ids[order], np.asarray(pred)[order]
+    ap_sum, n_users = 0.0, 0
+    start = 0
+    while start < len(users):
+        end = start
+        while end < len(users) and users[end] == users[start]:
+            end += 1
+        u = users[start]
+        pos = positives.get(int(u), set())
+        topk = np.argsort(-preds[start:end], kind="stable")[:k]
+        hits, ap = 0, 0.0
+        for rank, idx in enumerate(topk):
+            if int(items[start + idx]) in pos:
+                hits += 1
+                ap += hits / (rank + 1)
+        if len(pos) > 0:
+            ap_sum += ap / len(pos)
+        n_users += 1
+        start = end
+    return ap_sum / max(n_users, 1)
+
+
+# ---------------------------------------------------------------------------
+# Trajectory files (test_rmse_* / free_energy_*), reference-compatible names
+# ---------------------------------------------------------------------------
+
+class TrajectoryFile:
+    def __init__(self, kind: str, cfg: FMConfig, method: str, out_dir: str = ".",
+                 enabled: bool = True):
+        self.path = os.path.join(out_dir, f"{kind}_{cfg.dim_tag}_{method}")
+        self.enabled = enabled
+        if enabled:
+            open(self.path, "w").close()  # truncate at run start, like the reference
+
+    def append(self, value: float) -> None:
+        if self.enabled:
+            with open(self.path, "a") as f:
+                f.write(f"{value:g}\n")

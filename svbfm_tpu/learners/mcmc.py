@@ -1,0 +1,436 @@
+"""MCMC (Gibbs) and ALS learners for factorization machines.
+
+TPU-native re-design of the reference ``fm_learn_mcmc.h`` +
+``fm_learn_mcmc_simultaneous.h`` (libFM's Bayesian FM, Freudenthaler et al.).
+ALS is MCMC with ``do_sample=False, do_multilevel=False`` exactly as the
+reference CLI rewrites ``-method als`` (``libfm.cpp:131-135``).
+
+Execution strategy mirrors :mod:`svbfm_tpu.learners.vb`: conflict-free
+binned column sweeps under ``shard_map`` over the data axis, psum'd
+sufficient statistics, replicated parameters.  Randomness comes from a
+``jax.random`` key chain, restoring the ``-seed`` flag that the reference
+registers but ignores (``libfm.cpp:123`` seeds from time(NULL)).
+
+Reference semantics preserved:
+  - e-sign convention: e = yhat - y (``fm_learn_mcmc_simultaneous.h:79``).
+  - conditional draws (``fm_learn_mcmc.h:628-1089``):
+      w ~ N( -s^2 (alpha * sum x(e - w x) - mu_g lambda_g), s^2 ),
+        s^2 = 1/(lambda_g + alpha * sum x^2)
+      v ~ N( -s^2 (alpha * (sum h e - v sum h^2) - mu lambda), s^2 ),
+        h = x (q - x v), s^2 = 1/(lambda + alpha * sum h^2)
+      alpha ~ Gamma((alpha_0 + N)/2, (gamma_0 + sum e^2)/2)
+      group hyperpriors mu_g, lambda_g per draw_w_mu/draw_w_lambda.
+  - hyperprior constants alpha_0 = gamma_0 = beta_0 = 1, mu_0 = 0
+    (``fm_learn_mcmc.h:1100-1103``).
+  - full re-predict of train+test every iteration for numerical stability
+    (``fm_learn_mcmc_simultaneous.h:134``).
+  - posterior-mean prediction accumulators pred_sum_all / all_but5.
+  - NaN/Inf guards: sigma^2 bad -> param = 0; draw bad -> keep old.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import PartitionSpec as P
+
+from svbfm_tpu.data.dataset import SparseDataset, SweepPlan
+from svbfm_tpu.data.meta import DataMetaInfo
+from svbfm_tpu.learners.base import (
+    FMConfig,
+    PlanData,
+    RowData,
+    TASK_REGRESSION,
+    TrajectoryFile,
+    build_plan_data,
+    build_row_data,
+    evaluate_classification,
+    evaluate_regression,
+    keep_finite,
+    ref_cdf_gaussian,
+)
+from svbfm_tpu.models.fm import init_fm_params
+from svbfm_tpu.ops.forward import fm_scores
+from svbfm_tpu.ops.segment import sorted_segment_sum
+from svbfm_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+
+@struct.dataclass
+class MCMCState:
+    w0: jax.Array  # scalar
+    w: jax.Array  # [D]
+    v: jax.Array  # [K, D]
+    alpha: jax.Array  # scalar
+    w_mu: jax.Array  # [G]
+    w_lambda: jax.Array  # [G]
+    v_mu: jax.Array  # [G, K]
+    v_lambda: jax.Array  # [G, K]
+    e: jax.Array  # [N] sharded; e = yhat - y
+    key: jax.Array  # PRNG key (replicated)
+
+
+def _psum(x):
+    return jax.lax.psum(x, DATA_AXIS)
+
+
+def _gather(a, idx):
+    return jnp.take(a, idx, mode="clip")
+
+
+def _maybe_sample(do_sample: bool, key, mean, sigma_sqr, old, zero_on_bad_sigma=True):
+    """Reference guard pattern: bad sigma^2 -> 0; bad draw -> keep old."""
+    val = mean
+    if do_sample:
+        val = mean + jnp.sqrt(sigma_sqr) * jax.random.normal(key, mean.shape, mean.dtype)
+    if zero_on_bad_sigma:
+        val = jnp.where(jnp.isfinite(sigma_sqr), val, jnp.zeros_like(val))
+    return keep_finite(val, old)
+
+
+def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
+                  num_cases: float):
+    """One Gibbs sweep + full re-predict of the train e-cache.  Runs inside
+    shard_map."""
+    dtype = state.w.dtype
+    alpha_0 = gamma_0 = beta_0 = 1.0
+    mu_0 = 0.0
+    w0_mean_0 = 0.0
+    G, K = cfg.num_groups, cfg.num_factor
+    N = jnp.asarray(num_cases, dtype)
+    e = state.e
+    key = state.key
+
+    def next_key():
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return sub
+
+    # --- alpha (fm_learn_mcmc.h:901-929) ---
+    alpha = state.alpha
+    if cfg.do_multilevel:
+        sse = _psum(jnp.sum(e * e * row.valid))
+        alpha_n = alpha_0 + N
+        gamma_n = gamma_0 + sse
+        draw = jax.random.gamma(next_key(), alpha_n / 2.0, dtype=dtype) / (gamma_n / 2.0)
+        alpha = keep_finite(draw, alpha)
+    else:
+        alpha = jnp.asarray(alpha_0, dtype)
+
+    # --- w0 (fm_learn_mcmc.h:628-668) ---
+    w0 = state.w0
+    if cfg.k0:
+        acc = _psum(jnp.sum((e - w0) * row.valid))
+        s2 = 1.0 / (cfg.reg0 + alpha * N)
+        mean = -s2 * (alpha * acc - w0_mean_0 * cfg.reg0)
+        new_w0 = _maybe_sample(cfg.do_sample, next_key(), mean, s2, w0,
+                               zero_on_bad_sigma=False)
+        e = e - (w0 - new_w0)
+        w0 = new_w0
+
+    rows_b, x_b, seg_b = plan.rows[0], plan.x[0], plan.seg[0]
+    w, v = state.w, state.v
+    w_mu, w_lambda = state.w_mu, state.w_lambda
+    v_mu, v_lambda = state.v_mu, state.v_lambda
+
+    # --- group hyperpriors for w (order: lambda then mu, fm_learn_mcmc.h:425-426) ---
+    if cfg.k1:
+        if cfg.do_multilevel:
+            # draw_w_lambda (fm_learn_mcmc.h:970-1007)
+            dev = jax.ops.segment_sum((w - _gather(w_mu, plan.attr_group)) ** 2,
+                                      plan.attr_group, num_segments=G)
+            lam_gamma = beta_0 * (w_mu - mu_0) ** 2 + gamma_0 + dev
+            lam_alpha = alpha_0 + plan.num_attr_per_group + 1.0
+            if cfg.do_sample:
+                draw = jax.random.gamma(next_key(), lam_alpha / 2.0, dtype=dtype) / (lam_gamma / 2.0)
+            else:
+                draw = lam_alpha / lam_gamma
+            w_lambda = keep_finite(draw, w_lambda)
+            # draw_w_mu (fm_learn_mcmc.h:931-968)
+            wsum = jax.ops.segment_sum(w, plan.attr_group, num_segments=G)
+            mu_mean = (wsum + beta_0 * mu_0) / (plan.num_attr_per_group + beta_0)
+            mu_s2 = 1.0 / ((plan.num_attr_per_group + beta_0) * w_lambda)
+            w_mu = _maybe_sample(cfg.do_sample, next_key(), mu_mean, mu_s2, w_mu,
+                                 zero_on_bad_sigma=False)
+        else:
+            w_mu = jnp.full((G,), mu_0, dtype)
+
+        # --- w sweep (fm_learn_mcmc.h:671-718) ---
+        def w_bin(carry, xs):
+            e, w, key = carry
+            rows, x, seg, cols, group, sx2 = xs
+            key, sub = jax.random.split(key)
+            w_c = _gather(w, cols)
+            mu_g = _gather(w_mu, group)
+            lam_g = _gather(w_lambda, group)
+            C = cols.shape[0]
+            e_g = _gather(e, rows)
+            sxe = _psum(sorted_segment_sum(x * e_g, seg, C + 1)[:C])
+            w_mean = sxe - w_c * sx2
+            s2 = 1.0 / (lam_g + alpha * sx2)
+            mean = -s2 * (alpha * w_mean - mu_g * lam_g)
+            new_w = _maybe_sample(cfg.do_sample, sub, mean, s2, w_c)
+            e = e.at[rows].add(-x * _gather(w_c - new_w, seg), mode="drop",
+                               unique_indices=plan_unique)
+            w = w.at[cols].set(new_w, mode="drop")
+            return (e, w, key), None
+
+        plan_unique = True
+        (e, w, key), _ = jax.lax.scan(
+            w_bin, (e, w, key),
+            (rows_b, x_b, seg_b, plan.cols, plan.col_group, plan.sx2))
+        # unobserved columns: posterior = prior N(mu_g, 1/lambda_g)
+        mu_d = _gather(w_mu, plan.attr_group)
+        lam_d = _gather(w_lambda, plan.attr_group)
+        s2_d = 1.0 / lam_d
+        new_un = _maybe_sample(cfg.do_sample, next_key(), mu_d, s2_d, w)
+        w = jnp.where(plan.unobserved, new_un, w)
+
+    # --- group hyperpriors for v (fm_learn_mcmc.h:1011-1089) ---
+    if K > 0:
+        if cfg.do_multilevel:
+            dev = jax.ops.segment_sum(
+                ((v - _gather(v_mu.T, plan.attr_group).T) ** 2).T,
+                plan.attr_group, num_segments=G)  # [G, K]
+            lam_gamma = beta_0 * (v_mu - mu_0) ** 2 + gamma_0 + dev
+            lam_alpha = alpha_0 + plan.num_attr_per_group[:, None] + 1.0
+            if cfg.do_sample:
+                draw = jax.random.gamma(next_key(), lam_alpha / 2.0, dtype=dtype) / (lam_gamma / 2.0)
+            else:
+                draw = lam_alpha / lam_gamma
+            v_lambda = keep_finite(draw, v_lambda)
+            vsum = jax.ops.segment_sum(v.T, plan.attr_group, num_segments=G)  # [G, K]
+            mu_mean = (vsum + beta_0 * mu_0) / (plan.num_attr_per_group[:, None] + beta_0)
+            mu_s2 = 1.0 / ((plan.num_attr_per_group[:, None] + beta_0) * v_lambda)
+            v_mu = _maybe_sample(cfg.do_sample, next_key(), mu_mean, mu_s2, v_mu,
+                                 zero_on_bad_sigma=False)
+        else:
+            v_mu = jnp.full((G, K), mu_0, dtype)
+
+        # --- v sweeps, factor-major (fm_learn_mcmc.h:510-622, 780-835) ---
+        def f_step(carry, f):
+            e, v, key = carry
+            v_f = v[f]
+            mu_f = v_mu[:, f]
+            lam_f = v_lambda[:, f]
+            q = (jnp.take(v_f, row.ids, axis=-1) * row.vals).sum(-1)
+
+            def v_bin(c2, xs):
+                e, q, v_f, key = c2
+                rows, x, seg, cols, group, _sx2 = xs
+                key, sub = jax.random.split(key)
+                v_c = _gather(v_f, cols)
+                mu_g = _gather(mu_f, group)
+                lam_g = _gather(lam_f, group)
+                C = cols.shape[0]
+                e_g = _gather(e, rows)
+                q_g = _gather(q, rows)
+                v_e = _gather(v_c, seg)
+                h = x * (q_g - x * v_e)
+                she = _psum(sorted_segment_sum(h * e_g, seg, C + 1)[:C])
+                sh2 = _psum(sorted_segment_sum(h * h, seg, C + 1)[:C])
+                v_mean = she - v_c * sh2
+                s2 = 1.0 / (lam_g + alpha * sh2)
+                mean = -s2 * (alpha * v_mean - mu_g * lam_g)
+                new_v = _maybe_sample(cfg.do_sample, sub, mean, s2, v_c)
+                dv = _gather(v_c - new_v, seg)
+                q = q.at[rows].add(-x * dv, mode="drop", unique_indices=True)
+                e = e.at[rows].add(-h * dv, mode="drop", unique_indices=True)
+                v_f = v_f.at[cols].set(new_v, mode="drop")
+                return (e, q, v_f, key), None
+
+            (e, q, v_f, key), _ = jax.lax.scan(
+                v_bin, (e, q, v_f, key),
+                (rows_b, x_b, seg_b, plan.cols, plan.col_group, plan.sx2))
+
+            key, sub = jax.random.split(key)
+            mu_d = _gather(mu_f, plan.attr_group)
+            lam_d = _gather(lam_f, plan.attr_group)
+            new_un = _maybe_sample(cfg.do_sample, sub, mu_d, 1.0 / lam_d, v_f)
+            v_f = jnp.where(plan.unobserved, new_un, v_f)
+            v = v.at[f].set(v_f)
+            return (e, v, key), None
+
+        (e, v, key), _ = jax.lax.scan(f_step, (e, v, key), jnp.arange(K))
+
+    # --- full re-predict: e := yhat (fm_learn_mcmc_simultaneous.h:134) ---
+    yhat = fm_scores(w0, w, v, row.ids, row.vals, k0=cfg.k0, k1=cfg.k1)
+
+    new_state = MCMCState(w0=w0, w=w, v=v, alpha=alpha, w_mu=w_mu,
+                          w_lambda=w_lambda, v_mu=v_mu, v_lambda=v_lambda,
+                          e=yhat, key=key)
+    return new_state
+
+
+def _state_specs():
+    rep, shd = P(), P(DATA_AXIS)
+    return MCMCState(w0=rep, w=rep, v=rep, alpha=rep, w_mu=rep, w_lambda=rep,
+                     v_mu=rep, v_lambda=rep, e=shd, key=rep)
+
+
+def _row_specs():
+    shd = P(DATA_AXIS)
+    return RowData(ids=shd, vals=shd, target=shd, valid=shd)
+
+
+def _plan_specs():
+    rep, shd = P(), P(DATA_AXIS)
+    return PlanData(rows=shd, x=shd, seg=shd, cols=rep, col_group=rep,
+                    col_valid=rep, sx2=rep, cnt=rep, col_count=rep,
+                    attr_group=rep, num_attr_per_group=rep, unobserved=rep)
+
+
+class MCMCLearner:
+    """Gibbs-MCMC / ALS trainer over a device mesh."""
+
+    method = "mcmc"
+
+    def __init__(self, cfg: FMConfig, train: SparseDataset, test: SparseDataset,
+                 meta: Optional[DataMetaInfo] = None, mesh=None,
+                 bins: str = "auto", out_dir: str = ".", write_files: bool = True,
+                 w_lambda_init: Optional[np.ndarray] = None,
+                 v_lambda_init: Optional[np.ndarray] = None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n = self.mesh.devices.size
+        meta = meta if meta is not None else DataMetaInfo(cfg.num_attributes)
+        self.meta = meta
+        coo = train.to_coo()
+        self.plan = SweepPlan.build(coo, cfg.num_attributes,
+                                    meta_groups=meta.attr_group, bins=bins, n_shards=n)
+        self.train_row, self.train_n = build_row_data(self.mesh, train)
+        self.test_row, self.test_n = build_row_data(self.mesh, test)
+        self.plan_data = build_plan_data(self.mesh, self.plan, meta)
+        self.test_target_np = np.asarray(test.target[: test.num_rows])
+        self.train_target = self.train_row.target
+        self.out_dir = out_dir
+        self.write_files = write_files
+        # -regular: per-group lambda init (libfm.cpp:367-407)
+        self.w_lambda_init = (w_lambda_init if w_lambda_init is not None
+                              else np.full(cfg.num_groups, cfg.regw, np.float32))
+        self.v_lambda_init = (v_lambda_init if v_lambda_init is not None
+                              else np.full((cfg.num_groups, cfg.num_factor), cfg.regv, np.float32))
+        self._build_jits()
+
+    def _build_jits(self):
+        cfg = self.cfg
+        num_cases = float(self.train_n)
+
+        def step_fn(state, row, plan):
+            return mcmc_draw_all(state, row, plan, cfg, num_cases)
+
+        self._step = jax.jit(jax.shard_map(
+            step_fn, mesh=self.mesh,
+            in_specs=(_state_specs(), _row_specs(), _plan_specs()),
+            out_specs=_state_specs(),
+        ))
+
+        def scores_fn(w0, w, v, ids, vals):
+            return fm_scores(w0, w, v, ids, vals, k0=cfg.k0, k1=cfg.k1)
+
+        self._scores = jax.jit(scores_fn)
+
+    def init_state(self, key: Optional[jax.Array] = None) -> MCMCState:
+        cfg = self.cfg
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed)
+        key, kinit = jax.random.split(key)
+        params = init_fm_params(kinit, cfg.num_attributes, cfg.num_factor,
+                                init_stdev=cfg.init_stdev, init_w_normal=True)
+        yhat = self._scores(params.w0, params.w, params.v,
+                            self.train_row.ids, self.train_row.vals)
+        e = yhat - self.train_row.target  # e = yhat - y (MCMC sign convention)
+        G, K = cfg.num_groups, cfg.num_factor
+        return MCMCState(
+            w0=params.w0, w=params.w, v=params.v,
+            alpha=jnp.ones((), jnp.float32),
+            w_mu=jnp.zeros((G,), jnp.float32),
+            w_lambda=jnp.asarray(self.w_lambda_init, jnp.float32),
+            v_mu=jnp.zeros((G, K), jnp.float32),
+            v_lambda=jnp.asarray(self.v_lambda_init, jnp.float32),
+            e=e, key=key)
+
+    def predict_test_scores(self, state: MCMCState) -> np.ndarray:
+        s = self._scores(state.w0, state.w, state.v,
+                         self.test_row.ids, self.test_row.vals)
+        return np.asarray(s)[: self.test_n]
+
+    def run(self, state: Optional[MCMCState] = None, num_iter: Optional[int] = None,
+            verbose: bool = True):
+        cfg = self.cfg
+        if state is None:
+            state = self.init_state()
+        num_iter = num_iter if num_iter is not None else cfg.num_iter
+        rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
+                                   self.write_files)
+        pred_sum_all = np.zeros(self.test_n)
+        pred_sum_but5 = np.zeros(self.test_n)
+        history = []
+        for it in range(num_iter):
+            state = self._step(state, self.train_row, self.plan_data)
+            scores = self.predict_test_scores(state)
+            rec = {"iter": it, "alpha": float(state.alpha)}
+            if cfg.task == TASK_REGRESSION:
+                p = np.clip(scores, cfg.min_target, cfg.max_target)
+                pred_sum_all += p
+                if it >= 5:
+                    pred_sum_but5 += p
+                rmse_this, _ = evaluate_regression(scores, self.test_target_np,
+                                                   cfg.min_target, cfg.max_target)
+                rmse_all, mae_all = evaluate_regression(
+                    pred_sum_all, self.test_target_np, cfg.min_target,
+                    cfg.max_target, normalizer=1.0 / (it + 1))
+                rmse_file.append(rmse_all)
+                rec.update(rmse=rmse_all, rmse_this=rmse_this, mae=mae_all)
+                if verbose:
+                    print(f"#Iter={it:3d}\tTest={rmse_all:.6g}\tTest(this)={rmse_this:.6g}")
+            else:
+                prob = np.asarray(ref_cdf_gaussian(jnp.asarray(scores)))
+                pred_sum_all += prob
+                if it >= 5:
+                    pred_sum_but5 += prob
+                acc, ll = evaluate_classification(pred_sum_all, self.test_target_np,
+                                                  normalizer=1.0 / (it + 1))
+                rmse_file.append(acc)
+                rec.update(accuracy=acc, loglik=ll)
+                if verbose:
+                    print(f"#Iter={it:3d}\tTest={acc:.6g}")
+                state = self._resample_class_targets(state, it)
+            history.append(rec)
+        return state, history
+
+    def _resample_class_targets(self, state: MCMCState, it: int) -> MCMCState:
+        """Truncated-normal latent resampling
+        (fm_learn_mcmc_simultaneous.h:196-219).  e currently equals yhat."""
+        from svbfm_tpu.learners.base import truncnorm_mean_negative, truncnorm_mean_positive
+        e = state.e
+        y = self.train_target
+        key, sub = jax.random.split(state.key)
+        if self.cfg.do_sample:
+            u = jax.random.uniform(sub, e.shape, e.dtype, 1e-7, 1.0 - 1e-7)
+            # inverse-cdf truncated normal around mean e, sd 1
+            lo = ref_cdf_gaussian(-e)  # P(z < 0), z ~ N(e,1) -> Phi(-e)
+            cdf = jnp.where(y >= 0, lo + u * (1 - lo), u * lo)
+            cdf = jnp.clip(cdf, 1e-7, 1 - 1e-7)
+            z = e + jnp.sqrt(2.0) * jax.scipy.special.erfinv(2 * cdf - 1)
+            sampled = z
+        else:
+            from svbfm_tpu.learners.base import (truncnorm_mean_negative,
+                                                 truncnorm_mean_positive)
+            sampled = jnp.where(y >= 0, truncnorm_mean_positive(e),
+                                truncnorm_mean_negative(e))
+        return state.replace(e=e - sampled, key=key)
+
+
+class ALSLearner(MCMCLearner):
+    """ALS = MCMC with do_sample=False, do_multilevel=False (libfm.cpp:131-135)."""
+
+    method = "als"
+
+    def __init__(self, cfg: FMConfig, *args, **kwargs):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, do_sample=False, do_multilevel=False)
+        super().__init__(cfg, *args, **kwargs)

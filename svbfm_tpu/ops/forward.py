@@ -1,0 +1,114 @@
+"""FM forward kernels over the padded row layout.
+
+The canonical O(K * nnz) pairwise trick (reference ``fm_model.h:107-130``):
+
+    y(x) = w0 + sum_i w_i x_i + 0.5 * sum_f [ (sum_i v_fi x_i)^2
+                                              - sum_i v_fi^2 x_i^2 ]
+
+and the VBFM variance-propagation T-terms (reference
+``fm_learn_vb.h:207-312``, paper Eq. 26): with m = mu'_v, s = sigma'_v,
+
+    T(x) = sigma'_0 + sum_i sigma'_w,i x_i^2
+         + sum_f [ 0.5 * z_f^2 + z_f * q2_f
+                   - sum_i (m_fi^2 x_i^4 s_fi + 0.5 x_i^4 s_fi^2) ]
+    where q2_f = sum_i (m_fi x_i)^2,  z_f = sum_i s_fi x_i^2.
+
+All shapes static; padding entries have value 0 so they contribute nothing.
+On TPU these are embedding-style gathers + VPU elementwise work; XLA fuses
+the chain.  `factor_chunk` bounds the (chunk, N, P) gather intermediate so
+HBM use stays flat for large N.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """table [D_any] or [K, D_any]; ids [N, P] -> [N, P] or [K, N, P]."""
+    return jnp.take(table, ids, axis=-1)
+
+
+def fm_scores_and_sums(w0, w, v, ids, vals, k0: bool = True, k1: bool = True):
+    """Returns (scores [N], sum_f [K, N]) — sum_f is the per-factor
+    linear term cached by the SGD kernel (reference ``fm_sgd.h:44-50``)."""
+    N = ids.shape[0]
+    dtype = v.dtype
+    acc = jnp.zeros((N,), dtype)
+    if k0:
+        acc = acc + w0
+    if k1:
+        acc = acc + (_gather_rows(w, ids) * vals).sum(-1)
+    vg = _gather_rows(v, ids)  # [K, N, P]
+    d = vg * vals[None]
+    s = d.sum(-1)  # [K, N]
+    s2 = (d * d).sum(-1)
+    acc = acc + 0.5 * (s * s - s2).sum(0)
+    return acc, s
+
+
+def fm_scores(w0, w, v, ids, vals, k0: bool = True, k1: bool = True,
+              factor_chunk: int | None = None) -> jax.Array:
+    """FM scores for a batch of rows; factor loop chunked to bound memory."""
+    N = ids.shape[0]
+    K = v.shape[0]
+    dtype = v.dtype
+    acc = jnp.zeros((N,), dtype)
+    if k0:
+        acc = acc + w0
+    if k1:
+        acc = acc + (_gather_rows(w, ids) * vals).sum(-1)
+    if K == 0:
+        return acc
+    chunk = K if factor_chunk is None else min(factor_chunk, K)
+    if K % chunk != 0:
+        chunk = K  # keep shapes static; fall back to single chunk
+    vc = v.reshape(K // chunk, chunk, v.shape[1])
+
+    def body(carry, v_blk):
+        vg = jnp.take(v_blk, ids, axis=-1)  # [chunk, N, P]
+        d = vg * vals[None]
+        s = d.sum(-1)
+        s2 = (d * d).sum(-1)
+        return carry + 0.5 * (s * s - s2).sum(0), None
+
+    acc2, _ = jax.lax.scan(body, jnp.zeros((N,), dtype), vc)
+    return acc + acc2
+
+
+def fm_t_terms(sigma_0_dash, sigma_w_dash, mu_v_dash, sigma_v_dash, ids, vals,
+               k0: bool = True, k1: bool = True,
+               factor_chunk: int | None = None) -> jax.Array:
+    """VBFM T-terms (predictive-variance propagation) per row."""
+    N = ids.shape[0]
+    K = mu_v_dash.shape[0]
+    dtype = mu_v_dash.dtype
+    x2 = vals * vals
+    acc = jnp.zeros((N,), dtype)
+    if k0:
+        acc = acc + sigma_0_dash
+    if k1:
+        acc = acc + (_gather_rows(sigma_w_dash, ids) * x2).sum(-1)
+    if K == 0:
+        return acc
+    chunk = K if factor_chunk is None else min(factor_chunk, K)
+    if K % chunk != 0:
+        chunk = K
+    mc = mu_v_dash.reshape(K // chunk, chunk, mu_v_dash.shape[1])
+    sc = sigma_v_dash.reshape(K // chunk, chunk, sigma_v_dash.shape[1])
+
+    def body(carry, blk):
+        m_blk, s_blk = blk
+        mg = jnp.take(m_blk, ids, axis=-1)  # [chunk, N, P]
+        sg = jnp.take(s_blk, ids, axis=-1)
+        mx = mg * vals[None]
+        q2 = (mx * mx).sum(-1)  # [chunk, N] sum (m x)^2
+        z = (sg * x2[None]).sum(-1)  # sum s x^2
+        x4 = x2 * x2
+        neg = (mg * mg * x4[None] * sg + 0.5 * x4[None] * sg * sg).sum(-1)
+        t = 0.5 * z * z + z * q2 - neg
+        return carry + t.sum(0), None
+
+    acc2, _ = jax.lax.scan(body, jnp.zeros((N,), dtype), (mc, sc))
+    return acc + acc2

@@ -1,0 +1,177 @@
+"""Serial float64 NumPy oracles for the coordinate-sweep learners.
+
+Straightforward (slow) implementations of the update equations, written
+directly from the math: Gauss-Seidel column order 0..D-1, incremental
+residual maintenance.  Used to validate that the TPU binned sweeps are
+exactly equivalent on conflict-free data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class SparseCols:
+    """CSC view: for each column, (row indices, values)."""
+
+    def __init__(self, row, col, val, num_rows, num_cols):
+        order = np.argsort(col, kind="stable")
+        self.r = row[order]
+        self.x = val[order].astype(np.float64)
+        counts = np.bincount(col, minlength=num_cols)
+        self.ptr = np.zeros(num_cols + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.ptr[1:])
+        self.num_rows = num_rows
+        self.num_cols = num_cols
+
+    def col(self, i):
+        lo, hi = self.ptr[i], self.ptr[i + 1]
+        return self.r[lo:hi], self.x[lo:hi]
+
+
+def fm_scores_dense(w0, w, v, row, col, val, num_rows):
+    """Pairwise-trick forward, per-row, float64."""
+    K = v.shape[0]
+    lin = np.full(num_rows, w0, dtype=np.float64)
+    np.add.at(lin, row, w[col] * val)
+    for f in range(K):
+        s = np.zeros(num_rows)
+        s2 = np.zeros(num_rows)
+        np.add.at(s, row, v[f, col] * val)
+        np.add.at(s2, row, (v[f, col] * val) ** 2)
+        lin += 0.5 * (s * s - s2)
+    return lin
+
+
+def t_terms_dense(sigma_0_dash, sigma_w_dash, mu_v, sigma_v_dash, row, col, val, num_rows):
+    K = mu_v.shape[0]
+    x2 = val.astype(np.float64) ** 2
+    t = np.full(num_rows, sigma_0_dash, dtype=np.float64)
+    np.add.at(t, row, sigma_w_dash[col] * x2)
+    for f in range(K):
+        q2 = np.zeros(num_rows)
+        z = np.zeros(num_rows)
+        neg = np.zeros(num_rows)
+        np.add.at(q2, row, (mu_v[f, col] * val) ** 2)
+        np.add.at(z, row, sigma_v_dash[f, col] * x2)
+        np.add.at(neg, row, mu_v[f, col] ** 2 * x2 * x2 * sigma_v_dash[f, col]
+                  + 0.5 * x2 * x2 * sigma_v_dash[f, col] ** 2)
+        t += 0.5 * z * z + z * q2 - neg
+    return t
+
+
+class VBOracle:
+    """Batch VBFM, serial Gauss-Seidel, float64."""
+
+    def __init__(self, row, col, val, y, D, K, groups=None, k0=True, k1=True):
+        self.N = len(y)
+        self.D, self.K = D, K
+        self.k0, self.k1 = k0, k1
+        self.row, self.col, self.val = row, col, val.astype(np.float64)
+        self.y = y.astype(np.float64)
+        self.cols = SparseCols(row, col, val, self.N, D)
+        self.groups = groups if groups is not None else np.zeros(D, dtype=np.int32)
+        self.G = int(self.groups.max()) + 1
+        self.gcount = np.bincount(self.groups, minlength=self.G).astype(np.float64)
+
+    def init(self, mu_0, sigma_0_dash, mu_w, sigma_w_dash, mu_v, sigma_v_dash):
+        self.mu_0 = float(mu_0)
+        self.sigma_0_dash = float(sigma_0_dash)
+        self.mu_w = mu_w.astype(np.float64).copy()
+        self.sigma_w_dash = sigma_w_dash.astype(np.float64).copy()
+        self.mu_v = mu_v.astype(np.float64).copy()
+        self.sigma_v_dash = sigma_v_dash.astype(np.float64).copy()
+        self.alpha = 1.0
+        self.sigma_0 = 1.0
+        self.sigma_w = np.ones(self.G)
+        self.sigma_v = np.ones((self.G, self.K))
+        yhat = fm_scores_dense(self.mu_0 if self.k0 else 0.0,
+                               self.mu_w if self.k1 else np.zeros(self.D),
+                               self.mu_v, self.row, self.col, self.val, self.N)
+        self.e = self.y - yhat
+        self.t = t_terms_dense(self.sigma_0_dash if self.k0 else 0.0,
+                               self.sigma_w_dash if self.k1 else np.zeros(self.D),
+                               self.mu_v, self.sigma_v_dash,
+                               self.row, self.col, self.val, self.N)
+
+    def iterate(self):
+        N, alpha = self.N, self.alpha
+        # w0
+        if self.k0:
+            sig_old = self.sigma_0_dash
+            self.sigma_0_dash = 1.0 / (self.sigma_0 + N * alpha)
+            w0_temp = np.sum(self.e + self.mu_0)
+            mu_new = self.sigma_0_dash * alpha * w0_temp
+            self.e += self.mu_0 - mu_new
+            self.t += self.sigma_0_dash - sig_old
+            self.mu_0 = mu_new
+        # w sweep
+        if self.k1:
+            for i in range(self.D):
+                r, x = self.cols.col(i)
+                if len(r) == 0:
+                    self.sigma_w_dash[i] = 1.0 / self.sigma_w[self.groups[i]]
+                    self.mu_w[i] = 0.0
+                    continue
+                mu_old, sig_old = self.mu_w[i], self.sigma_w_dash[i]
+                w_mean = np.sum(x * (self.e[r] + x * mu_old))
+                sx2 = np.sum(x * x)
+                sig = 1.0 / (self.sigma_w[self.groups[i]] + alpha * sx2)
+                mu = sig * alpha * w_mean
+                self.sigma_w_dash[i], self.mu_w[i] = sig, mu
+                self.e[r] += x * (mu_old - mu)
+                self.t[r] += x * x * (sig - sig_old)
+        # v sweeps
+        for f in range(self.K):
+            q = np.zeros(N)
+            tq = np.zeros(N)
+            tz = np.zeros(N)
+            np.add.at(q, self.row, self.mu_v[f, self.col] * self.val)
+            np.add.at(tq, self.row, self.sigma_v_dash[f, self.col] * self.val ** 2)
+            np.add.at(tz, self.row, self.mu_v[f, self.col] ** 2 * self.val ** 2)
+            for i in range(self.D):
+                r, x = self.cols.col(i)
+                g = self.groups[i]
+                if len(r) == 0:
+                    self.sigma_v_dash[f, i] = 1.0 / self.sigma_v[g, f]
+                    self.mu_v[f, i] = 0.0
+                    continue
+                mu_old, sig_old = self.mu_v[f, i], self.sigma_v_dash[f, i]
+                h = q[r] - x * mu_old
+                h1 = tq[r] - x * x * sig_old
+                v_mean = np.sum(x * h * (self.e[r] + x * mu_old * h))
+                v_sig = np.sum(x * x * h * h + x * x * h1)
+                sig = 1.0 / (self.sigma_v[g, f] + alpha * v_sig)
+                mu = sig * alpha * v_mean
+                self.sigma_v_dash[f, i], self.mu_v[f, i] = sig, mu
+                he = x * (q[r] - x * mu_old)
+                h1e = x * x * (tq[r] - x * x * sig_old)
+                h2e = x * x * (tz[r] - x * x * mu_old * mu_old)
+                q[r] += x * (mu - mu_old)
+                tq[r] += x * x * (sig - sig_old)
+                tz[r] += x * x * (mu * mu - mu_old * mu_old)
+                self.e[r] += he * (mu_old - mu)
+                self.t[r] += (h1e + h2e) * (sig - sig_old) + h1e * (mu * mu - mu_old * mu_old)
+        # hypers
+        alpha_temp = np.sum(self.e ** 2 + self.t)
+        self.alpha = N / alpha_temp
+        self.sigma_0 = 1.0 / (self.mu_0 ** 2 + self.sigma_0_dash)
+        for g in range(self.G):
+            m = self.groups == g
+            self.sigma_w[g] = self.gcount[g] / np.sum(self.mu_w[m] ** 2 + self.sigma_w_dash[m])
+            for f in range(self.K):
+                self.sigma_v[g, f] = self.gcount[g] / np.sum(
+                    self.mu_v[f, m] ** 2 + self.sigma_v_dash[f, m])
+        return self.free_energy(alpha_temp)
+
+    def free_energy(self, alpha_temp):
+        fe = -0.5 * self.alpha * alpha_temp - 0.5 * self.N * np.log(2 * 3.14 / self.alpha)
+        fe += (-0.5 * self.sigma_0 * (self.mu_0 ** 2 + self.sigma_0_dash)
+               + 0.5 * np.log(self.sigma_0_dash * self.sigma_0) + 0.5)
+        sw = self.sigma_w[self.groups]
+        fe += np.sum(-0.5 * sw * (self.mu_w ** 2 + self.sigma_w_dash)
+                     + 0.5 * np.log(self.sigma_w_dash * sw) + 0.5)
+        sv = self.sigma_v[self.groups, :].T  # [K, D]
+        fe += np.sum(-0.5 * sv * (self.mu_v ** 2 + self.sigma_v_dash)
+                     + 0.5 * np.log(self.sigma_v_dash * sv) + 0.5)
+        return fe

@@ -1,0 +1,93 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from svbfm_tpu.data.dataset import SparseDataset
+from svbfm_tpu.data.meta import DataMetaInfo
+from svbfm_tpu.data.synth import make_movielens_like, make_tiny, train_test_split
+from svbfm_tpu.learners.base import FMConfig
+from svbfm_tpu.learners.vb import VBLearner, VBState, init_vb_params
+from svbfm_tpu.parallel.mesh import make_mesh
+
+from oracle import VBOracle
+
+
+def _setup(num_rows=96, num_users=9, num_items=7, K=3, n_dev=1, seed=2):
+    coo = make_movielens_like(num_users=num_users, num_items=num_items,
+                              num_ratings=num_rows, rank=2, noise=0.4, seed=seed)
+    tr, te = train_test_split(coo, 0.25, seed=seed + 1)
+    D = coo.num_features
+    meta = DataMetaInfo.from_field_offsets(D, [0, num_users])
+    cfg = FMConfig(num_attributes=D, num_factor=K, task=0,
+                   min_target=float(tr.target.min()), max_target=float(tr.target.max()),
+                   num_groups=meta.num_attr_groups, seed=7)
+    mesh = make_mesh(n_dev)
+    tr_ds = SparseDataset.from_coo(tr, D)
+    te_ds = SparseDataset.from_coo(te, D)
+    learner = VBLearner(cfg, tr_ds, te_ds, meta, mesh=mesh, write_files=False)
+    return coo, tr, te, cfg, learner, meta
+
+
+def _oracle_from_state(tr, cfg, meta, state: VBState):
+    orc = VBOracle(tr.row, tr.col, tr.val, tr.target, cfg.num_attributes,
+                   cfg.num_factor, groups=meta.attr_group)
+    orc.init(float(state.mu_0), float(state.sigma_0_dash),
+             np.asarray(state.mu_w), np.asarray(state.sigma_w_dash),
+             np.asarray(state.mu_v), np.asarray(state.sigma_v_dash))
+    return orc
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_vb_matches_serial_oracle(n_dev):
+    coo, tr, te, cfg, learner, meta = _setup(n_dev=n_dev)
+    state = learner.init_state()
+    orc = _oracle_from_state(tr, cfg, meta, state)
+
+    # init caches agree
+    np.testing.assert_allclose(np.asarray(state.e)[: tr.num_rows], orc.e, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(state.t)[: tr.num_rows], orc.t, rtol=2e-4, atol=2e-4)
+
+    fes = []
+    for it in range(3):
+        state, fe = learner._step(state, learner.train_row, learner.plan_data)
+        fe_o = orc.iterate()
+        fes.append((float(fe), fe_o))
+        np.testing.assert_allclose(np.asarray(state.mu_w), orc.mu_w, rtol=3e-3, atol=3e-4)
+        np.testing.assert_allclose(np.asarray(state.mu_v), orc.mu_v, rtol=3e-3, atol=3e-4)
+        np.testing.assert_allclose(np.asarray(state.sigma_w_dash), orc.sigma_w_dash, rtol=3e-3, atol=1e-6)
+        np.testing.assert_allclose(float(state.alpha), orc.alpha, rtol=3e-3)
+        np.testing.assert_allclose(float(state.mu_0), orc.mu_0, rtol=3e-3, atol=1e-5)
+    for fe, fe_o in fes:
+        np.testing.assert_allclose(fe, fe_o, rtol=2e-3)
+
+
+def test_vb_free_energy_increases():
+    coo, tr, te, cfg, learner, meta = _setup(num_rows=400, num_users=15, num_items=12, K=4)
+    state, history = learner.run(num_iter=8, verbose=False)
+    fes = [h["free_energy"] for h in history]
+    # coordinate ascent on the ELBO: free energy must be non-decreasing
+    # (allow tiny f32 jitter)
+    for a, b in zip(fes, fes[1:]):
+        assert b >= a - abs(a) * 1e-4
+
+
+def test_vb_rmse_improves():
+    coo, tr, te, cfg, learner, meta = _setup(num_rows=2000, num_users=30, num_items=25, K=4)
+    state, history = learner.run(num_iter=10, verbose=False)
+    assert history[-1]["rmse"] < history[0]["rmse"]
+    assert history[-1]["rmse"] < 1.0
+
+
+def test_vb_sharding_invariance():
+    """Same math on 1 device and on 8 devices."""
+    _, tr, te, cfg, l1, meta = _setup(num_rows=128, n_dev=1, seed=5)
+    _, _, _, _, l8, _ = _setup(num_rows=128, n_dev=8, seed=5)
+    s1 = l1.init_state()
+    s8 = l8.init_state()
+    np.testing.assert_allclose(np.asarray(s1.mu_v), np.asarray(s8.mu_v))
+    for _ in range(2):
+        s1, fe1 = l1._step(s1, l1.train_row, l1.plan_data)
+        s8, fe8 = l8._step(s8, l8.train_row, l8.plan_data)
+    np.testing.assert_allclose(np.asarray(s1.mu_v), np.asarray(s8.mu_v), rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(float(fe1), float(fe8), rtol=1e-3)
