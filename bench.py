@@ -1,0 +1,88 @@
+"""Headline benchmark: batch VBFM training throughput on ML-1M-scale data.
+
+Runs the flagship learner (batch variational Bayes FM, dim 1,1,20 — the
+configuration of the reference paper's headline plots, `results/1M_20.png`)
+on MovieLens-1M-shaped synthetic data (6040 users x 3952 items, 1M train
+rows) and reports training throughput in examples/s.
+
+``vs_baseline`` compares against the reference C++ implementation
+(libFM-VBFM, `src/libfm/src/fm_learn_vb.h`) compiled -O3 and measured on
+THIS machine's host CPU with the same data: REF_SECONDS_PER_ITER below.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Reference libFM `-method vb -dim 1,1,20` per-iteration wall time on this
+# machine (g++ -O3 build of /root/reference/src, 1M-row synthetic ML-1M data,
+# measured over 9 iteration intervals of a 10-iteration run: 25 s / 9).
+REF_SECONDS_PER_ITER = 2.78
+
+NUM_USERS, NUM_ITEMS = 6040, 3952
+NUM_TRAIN = 1_000_000
+K = 20
+TIMED_ITERS = 5
+
+
+def main() -> None:
+    import jax
+
+    from svbfm_tpu.data.dataset import SparseDataset
+    from svbfm_tpu.data.meta import DataMetaInfo
+    from svbfm_tpu.data.synth import make_movielens_like, train_test_split
+    from svbfm_tpu.learners.base import FMConfig
+    from svbfm_tpu.learners.vb import VBLearner
+
+    coo = make_movielens_like(num_users=NUM_USERS, num_items=NUM_ITEMS,
+                              num_ratings=NUM_TRAIN + NUM_TRAIN // 10,
+                              rank=8, noise=0.6, seed=42)
+    tr, te = train_test_split(coo, 1.0 / 11.0, seed=43)
+    D = coo.num_features
+    meta = DataMetaInfo.from_field_offsets(D, [0, NUM_USERS])
+    cfg = FMConfig(num_attributes=D, num_factor=K,
+                   min_target=float(tr.target.min()),
+                   max_target=float(tr.target.max()),
+                   num_groups=meta.num_attr_groups, seed=7)
+    learner = VBLearner(cfg, SparseDataset.from_coo(tr, D),
+                        SparseDataset.from_coo(te, D), meta, write_files=False)
+    state = learner.init_state()
+
+    # warmup/compile
+    state, fe = learner._step(state, learner.train_row, learner.plan_data)
+    jax.block_until_ready(state.mu_v)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_ITERS):
+        state, fe = learner._step(state, learner.train_row, learner.plan_data)
+    jax.block_until_ready(state.mu_v)
+    sec_per_iter = (time.perf_counter() - t0) / TIMED_ITERS
+
+    examples_per_s = tr.num_rows / sec_per_iter
+    ref_examples_per_s = tr.num_rows / REF_SECONDS_PER_ITER
+
+    # quality signal alongside throughput: test RMSE after the timed iters
+    scores = learner.predict_test_scores(state)
+    p = np.clip(scores, cfg.min_target, cfg.max_target)
+    rmse = float(np.sqrt(np.mean((p - te.target) ** 2)))
+
+    print(json.dumps({
+        "metric": "vbfm_ml1m_k20_train_throughput",
+        "value": round(examples_per_s, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(examples_per_s / ref_examples_per_s, 3),
+        "sec_per_iter": round(sec_per_iter, 4),
+        "test_rmse_after_6_iters": round(rmse, 5),
+        "free_energy": float(fe),
+        "device": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -90,18 +90,15 @@ class SparseDataset:
         )
 
     def to_coo(self) -> COOData:
-        rows, cols, vals = [], [], []
-        for n in range(self.num_rows):
-            k = int(self.row_nnz[n])
-            rows.append(np.full(k, n, dtype=np.int32))
-            cols.append(self.ids[n, :k])
-            vals.append(self.vals[n, :k])
+        N, P = self.num_rows, self.ids.shape[1]
+        mask = np.arange(P)[None, :] < self.row_nnz[:N, None]
+        row = np.broadcast_to(np.arange(N, dtype=np.int32)[:, None], (N, P))[mask]
         return COOData(
-            row=np.concatenate(rows) if rows else np.zeros(0, np.int32),
-            col=np.concatenate(cols) if cols else np.zeros(0, np.int32),
-            val=np.concatenate(vals) if vals else np.zeros(0, np.float32),
-            target=self.target[: self.num_rows].copy(),
-            num_rows=self.num_rows,
+            row=row.astype(np.int32),
+            col=self.ids[:N][mask].astype(np.int32),
+            val=self.vals[:N][mask].astype(np.float32),
+            target=self.target[:N].copy(),
+            num_rows=N,
             num_features=self.num_features,
         )
 
@@ -207,46 +204,59 @@ def detect_field_bins(coo: COOData, num_features: int) -> Optional[np.ndarray]:
 
 
 @dataclass
-class SweepPlan:
-    """Binned, column-sorted entry arrays for vectorized coordinate sweeps.
+class ColumnBlock:
+    """One degree-bucket of one bin: a dense [C, L] view of its columns'
+    entries, shard-stacked on axis 0.
 
-    All arrays are stacked over bins (axis 0) and padded so a single
-    ``lax.scan`` over bins compiles once:
-
-      rows      int32 [S, B, M]  row index of each entry (pad: N -> drop)
-      x         f32   [S, B, M]  value of each entry (pad: 0)
-      seg       int32 [S, B, M]  per-entry index into the bin's column slots
-                                 (pad: C, an extra dropped segment)
-      cols      int32 [B, C]     column ids per slot (pad: D -> dropped)
-      col_group int32 [B, C]     group id per slot (pad: 0)
-      col_valid bool  [B, C]
-      sx2       f32   [B, C]     global sum of x^2 per column (static)
-      cnt       f32   [B, C]     global entry count per column (in this data)
-      col_count f32   [B, C]     full-data occurrence count per column
-
-    S = number of data shards.  Per-column statistics are segment-sums over
-    the shard-local entries followed by a psum over the data axis.
+    Per-column sufficient statistics become masked row-sums over the L axis
+    (pure VPU reductions — no scatter/segment ops, which serialize on TPU).
+    Padding entries carry x = 0 and a clipped row index, so every product
+    with x vanishes.
     """
 
-    rows: np.ndarray
-    x: np.ndarray
-    seg: np.ndarray
-    cols: np.ndarray
-    col_group: np.ndarray
-    col_valid: np.ndarray
-    sx2: np.ndarray
-    cnt: np.ndarray
-    col_count: np.ndarray
+    rows: np.ndarray  # int32 [S, C, L] local row ids (pad: rows_per_shard-1)
+    x: np.ndarray  # f32 [S, C, L] (pad: 0)
+    cols: np.ndarray  # int32 [C] global column ids, ascending
+    group: np.ndarray  # int32 [C]
+    sx2: np.ndarray  # f32 [C] global sum of x^2
+    cnt: np.ndarray  # f32 [C] global entry count in this data
+    col_count: np.ndarray  # f32 [C] full-data occurrence count
+
+
+@dataclass
+class SweepPlan:
+    """Gather-only data layout for vectorized coordinate sweeps.
+
+    ``blocks[b]`` is the list of degree-bucketed :class:`ColumnBlock`s of
+    conflict-free bin ``b``.  A sweep processes bins sequentially (preserving
+    the reference's Gauss-Seidel semantics — columns of one bin touch
+    disjoint rows) and all columns of a bin's buckets simultaneously:
+
+      1. per-column stats  = masked row-sums over each block's [C, L] entries
+                             (+ psum over the data axis),
+      2. parameter updates = tiny [C]-sized scatters into the dense tables,
+      3. residual-cache patches = ONE row-layout pass per bin, gathering the
+         per-column deltas through the padded [N, P] id arrays (deltas are 0
+         for out-of-bin columns, so no membership masks are needed).
+
+    Step 3 is exact for conflict-free bins (each row has at most one in-bin
+    entry) and degrades to a Jacobi sweep when ``conflict_free`` is False.
+    """
+
+    blocks: list  # list[list[ColumnBlock]]
     num_bins: int
     num_features: int
     rows_per_shard: int
     unobserved: np.ndarray  # bool [D] columns with no entries in the data
     color: np.ndarray  # int32 [D] bin of each column
-    conflict_free: bool = True  # False for jacobi bins (rows repeat in a bin)
+    conflict_free: bool = True
 
     @property
     def num_shards(self) -> int:
-        return int(self.rows.shape[0])
+        for bucket in self.blocks:
+            for blk in bucket:
+                return int(blk.rows.shape[0])
+        return 1
 
     @staticmethod
     def build(
@@ -256,6 +266,7 @@ class SweepPlan:
         bins: str = "auto",
         n_shards: int = 1,
         col_count: Optional[np.ndarray] = None,
+        lane_pad: int = 8,
     ) -> "SweepPlan":
         D = num_features
         conflict_free = True
@@ -285,8 +296,8 @@ class SweepPlan:
 
         N_pad = _ceil_to(max(coo.num_rows, 1), n_shards)
         rows_per_shard = N_pad // n_shards
-        shard_of = coo.row // rows_per_shard
-        local_row = coo.row % rows_per_shard
+        shard_of = (coo.row // rows_per_shard).astype(np.int64)
+        local_row = (coo.row % rows_per_shard).astype(np.int32)
 
         observed = np.zeros(D, dtype=bool)
         observed[coo.col] = True
@@ -296,62 +307,71 @@ class SweepPlan:
         else:
             col_count_full = col_count.astype(np.float32)
 
-        # --- column slots per bin (global, shard-independent) ---
-        # ascending column id within each bin == reference sweep order
-        bin_cols: list[np.ndarray] = []
+        # per-(shard, column) local entry counts and within-group positions
+        key = shard_of * D + coo.col
+        order = np.argsort(key, kind="stable")  # stable keeps file order
+        key_s = key[order]
+        grp_start = np.zeros(len(key_s), dtype=np.int64)
+        if len(key_s):
+            new_grp = np.concatenate([[True], key_s[1:] != key_s[:-1]])
+            grp_idx = np.cumsum(new_grp) - 1
+            starts = np.where(new_grp)[0]
+            grp_start = starts[grp_idx]
+        pos = np.arange(len(key_s), dtype=np.int64) - grp_start  # within (s,c)
+        # local count per (shard, col): max over shards drives bucket size
+        loc_cnt = np.zeros((n_shards, D), dtype=np.int64)
+        np.add.at(loc_cnt, (shard_of, coo.col), 1)
+        max_loc = loc_cnt.max(axis=0)  # [D]
+
+        sx2_full = np.zeros(D, dtype=np.float64)
+        np.add.at(sx2_full, coo.col, coo.val.astype(np.float64) ** 2)
+        cnt_full = np.bincount(coo.col, minlength=D).astype(np.float32)
+
+        col_s = coo.col[order]
+        shard_s = shard_of[order]
+        lrow_s = local_row[order]
+        val_s = coo.val[order]
+
+        blocks: list[list[ColumnBlock]] = []
         for b in range(num_bins):
-            cols_b = np.where((color == b) & observed)[0].astype(np.int32)
-            bin_cols.append(cols_b)
-        C = max((len(cb) for cb in bin_cols), default=1)
-        C = max(C, 1)
-        cols_arr = np.full((num_bins, C), D, dtype=np.int32)
-        col_group_arr = np.zeros((num_bins, C), dtype=np.int32)
-        col_valid_arr = np.zeros((num_bins, C), dtype=bool)
-        col_count_arr = np.zeros((num_bins, C), dtype=np.float32)
-        slot_of_col = np.zeros(D + 1, dtype=np.int64)
-        for b, cb in enumerate(bin_cols):
-            cols_arr[b, : len(cb)] = cb
-            col_group_arr[b, : len(cb)] = groups[cb]
-            col_valid_arr[b, : len(cb)] = True
-            col_count_arr[b, : len(cb)] = col_count_full[cb]
-            slot_of_col[cb] = np.arange(len(cb))
-
-        # --- entries per (shard, bin), sorted by column id ---
-        entry_bin = color[coo.col]
-        M = 0
-        per = {}
-        for s in range(n_shards):
-            for b in range(num_bins):
-                sel = np.where((shard_of == s) & (entry_bin == b))[0]
-                # sort by column id (stable keeps row-file order per column,
-                # matching the transpose iteration order of the reference)
-                sel = sel[np.argsort(coo.col[sel], kind="stable")]
-                per[(s, b)] = sel
-                M = max(M, len(sel))
-        M = max(M, 1)
-
-        # pad rows with a unique out-of-range ramp: scatters drop them
-        # (mode='drop') while keeping the unique_indices promise honest
-        rows_arr = np.broadcast_to(
-            rows_per_shard + np.arange(M, dtype=np.int32), (n_shards, num_bins, M)
-        ).copy()
-        x_arr = np.zeros((n_shards, num_bins, M), dtype=np.float32)
-        seg_arr = np.full((n_shards, num_bins, M), C, dtype=np.int32)
-        sx2_arr = np.zeros((num_bins, C), dtype=np.float32)
-        cnt_arr = np.zeros((num_bins, C), dtype=np.float32)
-        for (s, b), sel in per.items():
-            k = len(sel)
-            rows_arr[s, b, :k] = local_row[sel]
-            x_arr[s, b, :k] = coo.val[sel]
-            seg_arr[s, b, :k] = slot_of_col[coo.col[sel]]
-            if k:
-                np.add.at(sx2_arr[b], seg_arr[s, b, :k], coo.val[sel].astype(np.float64) ** 2)
-                np.add.at(cnt_arr[b], seg_arr[s, b, :k], 1.0)
+            bin_blocks: list[ColumnBlock] = []
+            cols_b = np.where((color == b) & observed)[0]
+            if len(cols_b) == 0:
+                blocks.append(bin_blocks)
+                continue
+            deg = max_loc[cols_b]
+            # geometric degree buckets: L in {lane_pad, 2*lane_pad, ...}
+            L = lane_pad
+            remaining = np.ones(len(cols_b), dtype=bool)
+            while remaining.any():
+                in_bucket = remaining & (deg <= L)
+                if in_bucket.any():
+                    cb = cols_b[in_bucket].astype(np.int32)  # ascending
+                    C = len(cb)
+                    rows_arr = np.full((n_shards, C, L), rows_per_shard - 1,
+                                       dtype=np.int32)
+                    x_arr = np.zeros((n_shards, C, L), dtype=np.float32)
+                    slot = np.full(D, -1, dtype=np.int64)
+                    slot[cb] = np.arange(C)
+                    sel = slot[col_s] >= 0
+                    if sel.any():
+                        s_i = shard_s[sel]
+                        c_i = slot[col_s[sel]]
+                        p_i = pos[sel]
+                        rows_arr[s_i, c_i, p_i] = lrow_s[sel]
+                        x_arr[s_i, c_i, p_i] = val_s[sel]
+                    bin_blocks.append(ColumnBlock(
+                        rows=rows_arr, x=x_arr, cols=cb,
+                        group=groups[cb].astype(np.int32),
+                        sx2=sx2_full[cb].astype(np.float32),
+                        cnt=cnt_full[cb],
+                        col_count=col_count_full[cb]))
+                    remaining = remaining & ~in_bucket
+                L *= 2
+            blocks.append(bin_blocks)
 
         return SweepPlan(
-            rows=rows_arr, x=x_arr, seg=seg_arr, cols=cols_arr,
-            col_group=col_group_arr, col_valid=col_valid_arr, sx2=sx2_arr,
-            cnt=cnt_arr, col_count=col_count_arr, num_bins=num_bins,
-            num_features=D, rows_per_shard=rows_per_shard,
-            unobserved=~observed, color=color, conflict_free=conflict_free,
+            blocks=blocks, num_bins=num_bins, num_features=D,
+            rows_per_shard=rows_per_shard, unobserved=~observed, color=color,
+            conflict_free=conflict_free,
         )

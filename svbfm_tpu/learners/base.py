@@ -68,18 +68,23 @@ class RowData:
 
 
 @struct.dataclass
-class PlanData:
-    """SweepPlan device arrays.  Entry arrays are sharded on axis 0."""
+class BlockData:
+    """One ColumnBlock on device (rows/x sharded on axis 0, rest replicated)."""
 
-    rows: jax.Array  # int32 [S, B, M]
-    x: jax.Array  # f32 [S, B, M]
-    seg: jax.Array  # int32 [S, B, M]
-    cols: jax.Array  # int32 [B, C] (replicated)
-    col_group: jax.Array  # int32 [B, C]
-    col_valid: jax.Array  # f32 [B, C]
-    sx2: jax.Array  # f32 [B, C]
-    cnt: jax.Array  # f32 [B, C]
-    col_count: jax.Array  # f32 [B, C]
+    rows: jax.Array  # int32 [S, C, L]
+    x: jax.Array  # f32 [S, C, L]
+    cols: jax.Array  # int32 [C]
+    group: jax.Array  # int32 [C]
+    sx2: jax.Array  # f32 [C]
+    cnt: jax.Array  # f32 [C]
+    col_count: jax.Array  # f32 [C]
+
+
+@struct.dataclass
+class PlanData:
+    """SweepPlan device arrays: nested (bins -> buckets) BlockData pytree."""
+
+    blocks: tuple  # tuple[tuple[BlockData, ...], ...]
     attr_group: jax.Array  # int32 [D]
     num_attr_per_group: jax.Array  # f32 [G]
     unobserved: jax.Array  # bool [D]
@@ -99,20 +104,44 @@ def build_row_data(mesh, ds: SparseDataset):
 
 
 def build_plan_data(mesh, plan: SweepPlan, meta: DataMetaInfo) -> PlanData:
+    blocks = tuple(
+        tuple(
+            BlockData(
+                rows=shard_rows(mesh, blk.rows),
+                x=shard_rows(mesh, blk.x),
+                cols=put_replicated(mesh, blk.cols),
+                group=put_replicated(mesh, blk.group),
+                sx2=put_replicated(mesh, blk.sx2),
+                cnt=put_replicated(mesh, blk.cnt),
+                col_count=put_replicated(mesh, blk.col_count),
+            )
+            for blk in bin_blocks
+        )
+        for bin_blocks in plan.blocks
+    )
     return PlanData(
-        rows=shard_rows(mesh, plan.rows),
-        x=shard_rows(mesh, plan.x),
-        seg=shard_rows(mesh, plan.seg),
-        cols=put_replicated(mesh, plan.cols),
-        col_group=put_replicated(mesh, plan.col_group),
-        col_valid=put_replicated(mesh, plan.col_valid.astype(np.float32)),
-        sx2=put_replicated(mesh, plan.sx2),
-        cnt=put_replicated(mesh, plan.cnt),
-        col_count=put_replicated(mesh, plan.col_count),
+        blocks=blocks,
         attr_group=put_replicated(mesh, meta.attr_group),
         num_attr_per_group=put_replicated(mesh, meta.num_attr_per_group.astype(np.float32)),
         unobserved=put_replicated(mesh, plan.unobserved),
     )
+
+
+def plan_specs_for(plan_data: PlanData):
+    """shard_map PartitionSpec pytree mirroring a PlanData's nested blocks."""
+    from jax.sharding import PartitionSpec as P
+
+    rep, shd = P(), P(DATA_AXIS)
+    blocks = tuple(
+        tuple(
+            BlockData(rows=shd, x=shd, cols=rep, group=rep, sx2=rep, cnt=rep,
+                      col_count=rep)
+            for _blk in bin_blocks
+        )
+        for bin_blocks in plan_data.blocks
+    )
+    return PlanData(blocks=blocks, attr_group=rep, num_attr_per_group=rep,
+                    unobserved=rep)
 
 
 # ---------------------------------------------------------------------------

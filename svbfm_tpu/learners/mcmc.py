@@ -51,11 +51,11 @@ from svbfm_tpu.learners.base import (
     evaluate_classification,
     evaluate_regression,
     keep_finite,
+    plan_specs_for,
     ref_cdf_gaussian,
 )
 from svbfm_tpu.models.fm import init_fm_params
 from svbfm_tpu.ops.forward import fm_scores
-from svbfm_tpu.ops.segment import sorted_segment_sum
 from svbfm_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
 
@@ -131,7 +131,6 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
         e = e - (w0 - new_w0)
         w0 = new_w0
 
-    rows_b, x_b, seg_b = plan.rows[0], plan.x[0], plan.seg[0]
     w, v = state.w, state.v
     w_mu, w_lambda = state.w_mu, state.w_lambda
     v_mu, v_lambda = state.v_mu, state.v_lambda
@@ -158,30 +157,25 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
         else:
             w_mu = jnp.full((G,), mu_0, dtype)
 
-        # --- w sweep (fm_learn_mcmc.h:671-718) ---
-        def w_bin(carry, xs):
-            e, w, key = carry
-            rows, x, seg, cols, group, sx2 = xs
-            key, sub = jax.random.split(key)
-            w_c = _gather(w, cols)
-            mu_g = _gather(w_mu, group)
-            lam_g = _gather(w_lambda, group)
-            C = cols.shape[0]
-            e_g = _gather(e, rows)
-            sxe = _psum(sorted_segment_sum(x * e_g, seg, C + 1)[:C])
-            w_mean = sxe - w_c * sx2
-            s2 = 1.0 / (lam_g + alpha * sx2)
-            mean = -s2 * (alpha * w_mean - mu_g * lam_g)
-            new_w = _maybe_sample(cfg.do_sample, sub, mean, s2, w_c)
-            e = e.at[rows].add(-x * _gather(w_c - new_w, seg), mode="drop",
-                               unique_indices=plan_unique)
-            w = w.at[cols].set(new_w, mode="drop")
-            return (e, w, key), None
-
-        plan_unique = True
-        (e, w, key), _ = jax.lax.scan(
-            w_bin, (e, w, key),
-            (rows_b, x_b, seg_b, plan.cols, plan.col_group, plan.sx2))
+        # --- w sweep (fm_learn_mcmc.h:671-718), gather-only binned form ---
+        D = w.shape[0]
+        for bin_blocks in plan.blocks:
+            dw = jnp.zeros((D,), dtype)
+            for blk in bin_blocks:
+                rows, x = blk.rows[0], blk.x[0]  # [C, L]
+                w_c = _gather(w, blk.cols)
+                mu_g = _gather(w_mu, blk.group)
+                lam_g = _gather(w_lambda, blk.group)
+                e_g = _gather(e, rows)
+                sxe = _psum((x * e_g).sum(-1))
+                w_mean = sxe - w_c * blk.sx2
+                s2 = 1.0 / (lam_g + alpha * blk.sx2)
+                mean = -s2 * (alpha * w_mean - mu_g * lam_g)
+                new_w = _maybe_sample(cfg.do_sample, next_key(), mean, s2, w_c)
+                w = w.at[blk.cols].set(new_w)
+                dw = dw.at[blk.cols].set(w_c - new_w)
+            # one row-layout residual patch per bin: e -= x * (w_old - w_new)
+            e = e - (row.vals * jnp.take(dw, row.ids, axis=0)).sum(-1)
         # unobserved columns: posterior = prior N(mu_g, 1/lambda_g)
         mu_d = _gather(w_mu, plan.attr_group)
         lam_d = _gather(w_lambda, plan.attr_group)
@@ -211,53 +205,57 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
             v_mu = jnp.full((G, K), mu_0, dtype)
 
         # --- v sweeps, factor-major (fm_learn_mcmc.h:510-622, 780-835) ---
-        def f_step(carry, f):
-            e, v, key = carry
-            v_f = v[f]
-            mu_f = v_mu[:, f]
-            lam_f = v_lambda[:, f]
+        D = v.shape[1]
+
+        def f_step(carry, xs):
+            e, key = carry
+            v_f, mu_f, lam_f = xs  # [D], [G], [G]
             q = (jnp.take(v_f, row.ids, axis=-1) * row.vals).sum(-1)
 
-            def v_bin(c2, xs):
-                e, q, v_f, key = c2
-                rows, x, seg, cols, group, _sx2 = xs
-                key, sub = jax.random.split(key)
-                v_c = _gather(v_f, cols)
-                mu_g = _gather(mu_f, group)
-                lam_g = _gather(lam_f, group)
-                C = cols.shape[0]
-                e_g = _gather(e, rows)
-                q_g = _gather(q, rows)
-                v_e = _gather(v_c, seg)
-                h = x * (q_g - x * v_e)
-                she = _psum(sorted_segment_sum(h * e_g, seg, C + 1)[:C])
-                sh2 = _psum(sorted_segment_sum(h * h, seg, C + 1)[:C])
-                v_mean = she - v_c * sh2
-                s2 = 1.0 / (lam_g + alpha * sh2)
-                mean = -s2 * (alpha * v_mean - mu_g * lam_g)
-                new_v = _maybe_sample(cfg.do_sample, sub, mean, s2, v_c)
-                dv = _gather(v_c - new_v, seg)
-                q = q.at[rows].add(-x * dv, mode="drop", unique_indices=True)
-                e = e.at[rows].add(-h * dv, mode="drop", unique_indices=True)
-                v_f = v_f.at[cols].set(new_v, mode="drop")
-                return (e, q, v_f, key), None
-
-            (e, q, v_f, key), _ = jax.lax.scan(
-                v_bin, (e, q, v_f, key),
-                (rows_b, x_b, seg_b, plan.cols, plan.col_group, plan.sx2))
+            for bin_blocks in plan.blocks:
+                v_old_d = v_f  # pre-bin snapshot (functional)
+                dv = jnp.zeros((D,), dtype)
+                for blk in bin_blocks:
+                    rows, x = blk.rows[0], blk.x[0]
+                    key, sub = jax.random.split(key)
+                    v_c = _gather(v_old_d, blk.cols)
+                    mu_g = _gather(mu_f, blk.group)
+                    lam_g = _gather(lam_f, blk.group)
+                    e_g = _gather(e, rows)
+                    q_g = _gather(q, rows)
+                    h = x * (q_g - x * v_c[:, None])
+                    she = _psum((h * e_g).sum(-1))
+                    sh2 = _psum((h * h).sum(-1))
+                    v_mean = she - v_c * sh2
+                    s2 = 1.0 / (lam_g + alpha * sh2)
+                    mean = -s2 * (alpha * v_mean - mu_g * lam_g)
+                    new_v = _maybe_sample(cfg.do_sample, sub, mean, s2, v_c)
+                    v_f = v_f.at[blk.cols].set(new_v)
+                    dv = dv.at[blk.cols].set(v_c - new_v)
+                # one row-layout patch per bin: h from pre-bin q and v
+                ids, x_r = row.ids, row.vals
+                v_e = jnp.take(v_old_d, ids, axis=0)
+                dv_e = jnp.take(dv, ids, axis=0)
+                h_e = x_r * (q[:, None] - x_r * v_e)
+                q = q - (x_r * dv_e).sum(-1)
+                e = e - (h_e * dv_e).sum(-1)
 
             key, sub = jax.random.split(key)
             mu_d = _gather(mu_f, plan.attr_group)
             lam_d = _gather(lam_f, plan.attr_group)
             new_un = _maybe_sample(cfg.do_sample, sub, mu_d, 1.0 / lam_d, v_f)
             v_f = jnp.where(plan.unobserved, new_un, v_f)
-            v = v.at[f].set(v_f)
-            return (e, v, key), None
+            return (e, key), v_f
 
-        (e, v, key), _ = jax.lax.scan(f_step, (e, v, key), jnp.arange(K))
+        (e, key), v = jax.lax.scan(
+            f_step, (e, key), (v, v_mu.T, v_lambda.T))
 
-    # --- full re-predict: e := yhat (fm_learn_mcmc_simultaneous.h:134) ---
+    # --- full re-predict (fm_learn_mcmc_simultaneous.h:134-176): regression
+    # restores e := yhat - y immediately; classification leaves e = yhat for
+    # the learner's truncated-normal target resampling (:196-219) ---
     yhat = fm_scores(w0, w, v, row.ids, row.vals, k0=cfg.k0, k1=cfg.k1)
+    if cfg.task == TASK_REGRESSION:
+        yhat = yhat - row.target
 
     new_state = MCMCState(w0=w0, w=w, v=v, alpha=alpha, w_mu=w_mu,
                           w_lambda=w_lambda, v_mu=v_mu, v_lambda=v_lambda,
@@ -276,11 +274,6 @@ def _row_specs():
     return RowData(ids=shd, vals=shd, target=shd, valid=shd)
 
 
-def _plan_specs():
-    rep, shd = P(), P(DATA_AXIS)
-    return PlanData(rows=shd, x=shd, seg=shd, cols=rep, col_group=rep,
-                    col_valid=rep, sx2=rep, cnt=rep, col_count=rep,
-                    attr_group=rep, num_attr_per_group=rep, unobserved=rep)
 
 
 class MCMCLearner:
@@ -324,7 +317,7 @@ class MCMCLearner:
 
         self._step = jax.jit(jax.shard_map(
             step_fn, mesh=self.mesh,
-            in_specs=(_state_specs(), _row_specs(), _plan_specs()),
+            in_specs=(_state_specs(), _row_specs(), plan_specs_for(self.plan_data)),
             out_specs=_state_specs(),
         ))
 

@@ -55,12 +55,12 @@ from svbfm_tpu.learners.base import (
     evaluate_classification,
     evaluate_regression,
     keep_finite,
+    plan_specs_for,
     ref_cdf_gaussian,
     truncnorm_mean_negative,
     truncnorm_mean_positive,
 )
 from svbfm_tpu.ops.forward import fm_scores, fm_t_terms
-from svbfm_tpu.ops.segment import sorted_segment_sum
 from svbfm_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
 
@@ -112,84 +112,93 @@ def _gather(a, idx):
     return jnp.take(a, idx, mode="clip")
 
 
-def vb_w_bin_update(e, t, mu_w, sigma_w_dash, sigma_w, alpha, bin_arrays):
-    """One conflict-free bin of the linear-term sweep (fm_learn_vb.h:527-574)."""
-    rows, x, seg, cols, group, sx2 = bin_arrays
-    mu_c = _gather(mu_w, cols)
-    sig_c = _gather(sigma_w_dash, cols)
-    sw_g = _gather(sigma_w, group)
-    C = cols.shape[0]
+def vb_w_bin_update(e, t, mu_w, sigma_w_dash, sigma_w, alpha, bin_blocks, row):
+    """One conflict-free bin of the linear-term sweep (fm_learn_vb.h:527-574).
 
-    e_g = _gather(e, rows)
-    sxe = _psum(sorted_segment_sum(x * e_g, seg, C + 1)[:C])
-    sigma_new = 1.0 / (sw_g + alpha * sx2)
-    sigma_new = keep_finite(sigma_new, sig_c)
-    mu_new = sigma_new * alpha * (sxe + mu_c * sx2)
-    mu_new = keep_finite(mu_new, mu_c)
-
-    mu_w = mu_w.at[cols].set(mu_new, mode="drop")
-    sigma_w_dash = sigma_w_dash.at[cols].set(sigma_new, mode="drop")
-    e = e.at[rows].add(x * _gather(mu_c - mu_new, seg), mode="drop", unique_indices=True)
-    t = t.at[rows].add(x * x * _gather(sigma_new - sig_c, seg), mode="drop", unique_indices=True)
+    Gather-only: per-column stats are masked row-sums over each degree
+    bucket's [C, L] entries; the e/t caches are patched in ONE row-layout
+    pass using dense per-column delta tables (zero outside the bin)."""
+    D = mu_w.shape[0]
+    dmu = jnp.zeros((D,), mu_w.dtype)
+    dsig = jnp.zeros((D,), mu_w.dtype)
+    for blk in bin_blocks:
+        rows, x = blk.rows[0], blk.x[0]  # [C, L] shard-local
+        mu_c = _gather(mu_w, blk.cols)
+        sig_c = _gather(sigma_w_dash, blk.cols)
+        sw_g = _gather(sigma_w, blk.group)
+        e_g = _gather(e, rows)
+        sxe = _psum((x * e_g).sum(-1))
+        sigma_new = 1.0 / (sw_g + alpha * blk.sx2)
+        sigma_new = keep_finite(sigma_new, sig_c)
+        mu_new = sigma_new * alpha * (sxe + mu_c * blk.sx2)
+        mu_new = keep_finite(mu_new, mu_c)
+        mu_w = mu_w.at[blk.cols].set(mu_new)
+        sigma_w_dash = sigma_w_dash.at[blk.cols].set(sigma_new)
+        dmu = dmu.at[blk.cols].set(mu_c - mu_new)
+        dsig = dsig.at[blk.cols].set(sigma_new - sig_c)
+    # row-layout patch (e += x*(mu_old-mu_new), t += x^2*(sig_new-sig_old))
+    x_r = row.vals
+    e = e + (x_r * jnp.take(dmu, row.ids, axis=0)).sum(-1)
+    t = t + (x_r * x_r * jnp.take(dsig, row.ids, axis=0)).sum(-1)
     return e, t, mu_w, sigma_w_dash
 
 
-def vb_v_bin_update(e, t, q, tq, tz, mu_vf, sig_vf, sv_f, alpha, bin_arrays):
+def vb_v_bin_update(e, t, q, tq, tz, mu_vf, sig_vf, sv_f, alpha, bin_blocks,
+                    row, attr_group):
     """One conflict-free bin of the factor-f sweep (fm_learn_vb.h:577-644).
 
     q  = sum_i mu'_v,fi x_i      (per row)
     tq = sum_i sigma'_v,fi x_i^2
     tz = sum_i mu'^2_v,fi x_i^2
     """
-    rows, x, seg, cols, group, _sx2 = bin_arrays
-    mu_c = _gather(mu_vf, cols)
-    sig_c = _gather(sig_vf, cols)
-    sv_g = _gather(sv_f, group)
-    C = cols.shape[0]
-    x2 = x * x
+    D = mu_vf.shape[0]
+    mu_old_d, sig_old_d = mu_vf, sig_vf  # pre-bin snapshots (functional)
+    dmu = jnp.zeros((D,), mu_vf.dtype)
+    dsig = jnp.zeros((D,), mu_vf.dtype)
+    dmu2 = jnp.zeros((D,), mu_vf.dtype)
+    for blk in bin_blocks:
+        rows, x = blk.rows[0], blk.x[0]
+        x2 = x * x
+        mu_c = _gather(mu_old_d, blk.cols)
+        sig_c = _gather(sig_old_d, blk.cols)
+        sv_g = _gather(sv_f, blk.group)
+        e_g = _gather(e, rows)
+        q_g = _gather(q, rows)
+        tq_g = _gather(tq, rows)
+        h = q_g - x * mu_c[:, None]
+        h1 = tq_g - x2 * sig_c[:, None]
+        v_mean = _psum((x * h * (e_g + x * mu_c[:, None] * h)).sum(-1))
+        v_sig = _psum((x2 * h * h + x2 * h1).sum(-1))
+        sigma_new = 1.0 / (sv_g + alpha * v_sig)
+        sigma_new = keep_finite(sigma_new, sig_c)
+        mu_new = sigma_new * alpha * v_mean
+        mu_new = keep_finite(mu_new, mu_c)
+        mu_vf = mu_vf.at[blk.cols].set(mu_new)
+        sig_vf = sig_vf.at[blk.cols].set(sigma_new)
+        dmu = dmu.at[blk.cols].set(mu_new - mu_c)
+        dsig = dsig.at[blk.cols].set(sigma_new - sig_c)
+        dmu2 = dmu2.at[blk.cols].set(mu_new * mu_new - mu_c * mu_c)
 
-    e_g = _gather(e, rows)
-    q_g = _gather(q, rows)
-    tq_g = _gather(tq, rows)
-    tz_g = _gather(tz, rows)
-    mu_e = _gather(mu_c, seg)
-    sig_e = _gather(sig_c, seg)
-
-    h = q_g - x * mu_e
-    h1 = tq_g - x2 * sig_e
-    v_mean = _psum(sorted_segment_sum(x * h * (e_g + x * mu_e * h), seg, C + 1)[:C])
-    v_sig = _psum(sorted_segment_sum(x2 * h * h + x2 * h1, seg, C + 1)[:C])
-
-    sigma_new = 1.0 / (sv_g + alpha * v_sig)
-    sigma_new = keep_finite(sigma_new, sig_c)
-    mu_new = sigma_new * alpha * v_mean
-    mu_new = keep_finite(mu_new, mu_c)
-
-    # incremental cache patches with the *old* per-entry values
-    he = x * (q_g - x * mu_e)
-    h1e = x2 * (tq_g - x2 * sig_e)
-    h2e = x2 * (tz_g - x2 * mu_e * mu_e)
-    dmu = _gather(mu_new - mu_c, seg)
-    dsig = _gather(sigma_new - sig_c, seg)
-    dmu2 = _gather(mu_new * mu_new - mu_c * mu_c, seg)
-
-    q = q.at[rows].add(x * dmu, mode="drop", unique_indices=True)
-    tq = tq.at[rows].add(x2 * dsig, mode="drop", unique_indices=True)
-    tz = tz.at[rows].add(x2 * dmu2, mode="drop", unique_indices=True)
-    e = e.at[rows].add(-he * dmu, mode="drop", unique_indices=True)
-    t = t.at[rows].add((h1e + h2e) * dsig + h1e * dmu2, mode="drop", unique_indices=True)
-
-    mu_vf = mu_vf.at[cols].set(mu_new, mode="drop")
-    sig_vf = sig_vf.at[cols].set(sigma_new, mode="drop")
+    # ONE row-layout cache patch for the whole bin.  Per-entry old values
+    # come from the pre-bin dense tables; deltas are 0 for out-of-bin
+    # columns so their terms vanish.  Exact for conflict-free bins (a row
+    # has at most one in-bin entry); Jacobi-approximate otherwise.
+    ids, x_r = row.ids, row.vals
+    x2_r = x_r * x_r
+    mu_e = jnp.take(mu_old_d, ids, axis=0)
+    sig_e = jnp.take(sig_old_d, ids, axis=0)
+    dmu_e = jnp.take(dmu, ids, axis=0)
+    dsig_e = jnp.take(dsig, ids, axis=0)
+    dmu2_e = jnp.take(dmu2, ids, axis=0)
+    he = x_r * (q[:, None] - x_r * mu_e)
+    h1e = x2_r * (tq[:, None] - x2_r * sig_e)
+    h2e = x2_r * (tz[:, None] - x2_r * mu_e * mu_e)
+    q = q + (x_r * dmu_e).sum(-1)
+    tq = tq + (x2_r * dsig_e).sum(-1)
+    tz = tz + (x2_r * dmu2_e).sum(-1)
+    e = e - (he * dmu_e).sum(-1)
+    t = t + ((h1e + h2e) * dsig_e + h1e * dmu2_e).sum(-1)
     return e, t, q, tq, tz, mu_vf, sig_vf
-
-
-def _bin_xs(plan: PlanData):
-    """Per-bin scan inputs. Local entry arrays come in as [1, B, ...]."""
-    rows = plan.rows[0]
-    x = plan.x[0]
-    seg = plan.seg[0]
-    return rows, x, seg, plan.cols, plan.col_group, plan.sx2
 
 
 def _row_q_terms(mu_vf, sig_vf, ids, vals):
@@ -224,19 +233,11 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
         t = t + (sigma_new - sigma_old)
         mu_0, sigma_0_dash = mu_new, sigma_new
 
-    rows_b, x_b, seg_b = plan.rows[0], plan.x[0], plan.seg[0]
-
     # --- w sweep (fm_learn_vb.h:390-406) ---
     if cfg.k1:
-        def w_bin(carry, xs):
-            e, t, mu_w, sigma_w_dash = carry
+        for bin_blocks in plan.blocks:
             e, t, mu_w, sigma_w_dash = vb_w_bin_update(
-                e, t, mu_w, sigma_w_dash, state.sigma_w, alpha, xs)
-            return (e, t, mu_w, sigma_w_dash), None
-
-        (e, t, mu_w, sigma_w_dash), _ = jax.lax.scan(
-            w_bin, (e, t, mu_w, sigma_w_dash),
-            (rows_b, x_b, seg_b, plan.cols, plan.col_group, plan.sx2))
+                e, t, mu_w, sigma_w_dash, state.sigma_w, alpha, bin_blocks, row)
         # columns with no occurrences: sigma' = 1/sigma_w(g), mu' = 0
         sw_d = jnp.take(state.sigma_w, plan.attr_group)
         sigma_w_dash = jnp.where(plan.unobserved, 1.0 / sw_d, sigma_w_dash)
@@ -244,32 +245,23 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
 
     # --- v sweeps, factor-major (fm_learn_vb.h:409-440) ---
     if cfg.num_factor > 0:
-        def f_step(carry, f):
-            e, t, mu_v, sigma_v_dash = carry
-            mu_vf = mu_v[f]
-            sig_vf = sigma_v_dash[f]
-            sv_f = state.sigma_v[:, f]
+        def f_step(carry, xs):
+            e, t = carry
+            mu_vf, sig_vf, sv_f = xs  # [D], [D], [G]
             q, tq, tz = _row_q_terms(mu_vf, sig_vf, row.ids, row.vals)
 
-            def v_bin(c2, xs):
-                e, t, q, tq, tz, mu_vf, sig_vf = c2
+            for bin_blocks in plan.blocks:
                 e, t, q, tq, tz, mu_vf, sig_vf = vb_v_bin_update(
-                    e, t, q, tq, tz, mu_vf, sig_vf, sv_f, alpha, xs)
-                return (e, t, q, tq, tz, mu_vf, sig_vf), None
-
-            (e, t, q, tq, tz, mu_vf, sig_vf), _ = jax.lax.scan(
-                v_bin, (e, t, q, tq, tz, mu_vf, sig_vf),
-                (rows_b, x_b, seg_b, plan.cols, plan.col_group, plan.sx2))
+                    e, t, q, tq, tz, mu_vf, sig_vf, sv_f, alpha, bin_blocks,
+                    row, plan.attr_group)
 
             sv_d = jnp.take(sv_f, plan.attr_group)
             sig_vf = jnp.where(plan.unobserved, 1.0 / sv_d, sig_vf)
             mu_vf = jnp.where(plan.unobserved, jnp.zeros((), dtype), mu_vf)
-            mu_v = mu_v.at[f].set(mu_vf)
-            sigma_v_dash = sigma_v_dash.at[f].set(sig_vf)
-            return (e, t, mu_v, sigma_v_dash), None
+            return (e, t), (mu_vf, sig_vf)
 
-        (e, t, mu_v, sigma_v_dash), _ = jax.lax.scan(
-            f_step, (e, t, mu_v, sigma_v_dash), jnp.arange(cfg.num_factor))
+        (e, t), (mu_v, sigma_v_dash) = jax.lax.scan(
+            f_step, (e, t), (mu_v, sigma_v_dash, state.sigma_v.T))
 
     # --- hyperparameter updates (fm_learn_vb.h:446-498) ---
     alpha_temp = _psum(jnp.sum((e * e + t) * row.valid))
@@ -316,12 +308,6 @@ def _row_specs():
     return RowData(ids=shd, vals=shd, target=shd, valid=shd)
 
 
-def _plan_specs():
-    rep, shd = P(), P(DATA_AXIS)
-    return PlanData(
-        rows=shd, x=shd, seg=shd, cols=rep, col_group=rep, col_valid=rep,
-        sx2=rep, cnt=rep, col_count=rep, attr_group=rep,
-        num_attr_per_group=rep, unobserved=rep)
 
 
 class VBLearner:
@@ -359,7 +345,7 @@ class VBLearner:
 
         self._step = jax.jit(jax.shard_map(
             step_fn, mesh=self.mesh,
-            in_specs=(_state_specs(), _row_specs(), _plan_specs()),
+            in_specs=(_state_specs(), _row_specs(), plan_specs_for(self.plan_data)),
             out_specs=(_state_specs(), P()),
         ))
 

@@ -64,17 +64,20 @@ def fm_scores(w0, w, v, ids, vals, k0: bool = True, k1: bool = True,
     chunk = K if factor_chunk is None else min(factor_chunk, K)
     if K % chunk != 0:
         chunk = K  # keep shapes static; fall back to single chunk
-    vc = v.reshape(K // chunk, chunk, v.shape[1])
 
-    def body(carry, v_blk):
+    def blk(v_blk):
         vg = jnp.take(v_blk, ids, axis=-1)  # [chunk, N, P]
         d = vg * vals[None]
         s = d.sum(-1)
         s2 = (d * d).sum(-1)
-        return carry + 0.5 * (s * s - s2).sum(0), None
+        return 0.5 * (s * s - s2).sum(0)
 
-    acc2, _ = jax.lax.scan(body, jnp.zeros((N,), dtype), vc)
-    return acc + acc2
+    if chunk == K:
+        return acc + blk(v)
+    vc = v.reshape(K // chunk, chunk, v.shape[1])
+    # stacked-output scan (carry-free: plays nice with shard_map vma tracking)
+    _, parts = jax.lax.scan(lambda c, vb: (c, blk(vb)), 0, vc)
+    return acc + parts.sum(0)
 
 
 def fm_t_terms(sigma_0_dash, sigma_w_dash, mu_v_dash, sigma_v_dash, ids, vals,
@@ -95,11 +98,8 @@ def fm_t_terms(sigma_0_dash, sigma_w_dash, mu_v_dash, sigma_v_dash, ids, vals,
     chunk = K if factor_chunk is None else min(factor_chunk, K)
     if K % chunk != 0:
         chunk = K
-    mc = mu_v_dash.reshape(K // chunk, chunk, mu_v_dash.shape[1])
-    sc = sigma_v_dash.reshape(K // chunk, chunk, sigma_v_dash.shape[1])
 
-    def body(carry, blk):
-        m_blk, s_blk = blk
+    def blk(m_blk, s_blk):
         mg = jnp.take(m_blk, ids, axis=-1)  # [chunk, N, P]
         sg = jnp.take(s_blk, ids, axis=-1)
         mx = mg * vals[None]
@@ -108,7 +108,11 @@ def fm_t_terms(sigma_0_dash, sigma_w_dash, mu_v_dash, sigma_v_dash, ids, vals,
         x4 = x2 * x2
         neg = (mg * mg * x4[None] * sg + 0.5 * x4[None] * sg * sg).sum(-1)
         t = 0.5 * z * z + z * q2 - neg
-        return carry + t.sum(0), None
+        return t.sum(0)
 
-    acc2, _ = jax.lax.scan(body, jnp.zeros((N,), dtype), (mc, sc))
-    return acc + acc2
+    if chunk == K:
+        return acc + blk(mu_v_dash, sigma_v_dash)
+    mc = mu_v_dash.reshape(K // chunk, chunk, mu_v_dash.shape[1])
+    sc = sigma_v_dash.reshape(K // chunk, chunk, sigma_v_dash.shape[1])
+    _, parts = jax.lax.scan(lambda c, b: (c, blk(*b)), 0, (mc, sc))
+    return acc + parts.sum(0)

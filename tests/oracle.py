@@ -175,3 +175,76 @@ class VBOracle:
         fe += np.sum(-0.5 * sv * (self.mu_v ** 2 + self.sigma_v_dash)
                      + 0.5 * np.log(self.sigma_v_dash * sv) + 0.5)
         return fe
+
+
+class ALSOracle:
+    """Deterministic ALS (MCMC with do_sample=False, do_multilevel=False),
+    serial Gauss-Seidel, float64.  Mirrors the conditional means of
+    fm_learn_mcmc.h:628-899 with alpha=1, w_mu=0, fixed lambdas."""
+
+    def __init__(self, row, col, val, y, D, K, groups=None, k0=True, k1=True,
+                 reg0=0.0, regw=0.0, regv=0.0):
+        self.N = len(y)
+        self.D, self.K = D, K
+        self.k0, self.k1 = k0, k1
+        self.row, self.col, self.val = row, col, val.astype(np.float64)
+        self.y = y.astype(np.float64)
+        self.cols = SparseCols(row, col, val, self.N, D)
+        self.groups = groups if groups is not None else np.zeros(D, dtype=np.int32)
+        self.G = int(self.groups.max()) + 1
+        self.reg0, self.regw, self.regv = reg0, regw, regv
+        self.alpha = 1.0
+
+    def init(self, w0, w, v):
+        self.w0 = float(w0)
+        self.w = w.astype(np.float64).copy()
+        self.v = v.astype(np.float64).copy()
+        yhat = fm_scores_dense(self.w0 if self.k0 else 0.0,
+                               self.w if self.k1 else np.zeros(self.D),
+                               self.v, self.row, self.col, self.val, self.N)
+        self.e = yhat - self.y  # MCMC sign convention
+
+    def iterate(self):
+        alpha = self.alpha
+        if self.k0:
+            acc = np.sum(self.e - self.w0)
+            s2 = 1.0 / (self.reg0 + alpha * self.N)
+            new_w0 = -s2 * (alpha * acc - 0.0 * self.reg0)
+            self.e -= self.w0 - new_w0
+            self.w0 = new_w0
+        if self.k1:
+            for i in range(self.D):
+                r, x = self.cols.col(i)
+                if len(r) == 0:
+                    self.w[i] = 0.0  # prior mean (mu_g = 0)
+                    continue
+                sx2 = np.sum(x * x)
+                w_mean = np.sum(x * self.e[r]) - self.w[i] * sx2
+                s2 = 1.0 / (self.regw + alpha * sx2)
+                new_w = -s2 * (alpha * w_mean - 0.0 * self.regw)
+                self.e[r] -= x * (self.w[i] - new_w)
+                self.w[i] = new_w
+        for f in range(self.K):
+            q = np.zeros(self.N)
+            np.add.at(q, self.row, self.v[f, self.col] * self.val)
+            for i in range(self.D):
+                r, x = self.cols.col(i)
+                if len(r) == 0:
+                    self.v[f, i] = 0.0
+                    continue
+                vv = self.v[f, i]
+                h = x * (q[r] - x * vv)
+                sh2 = np.sum(h * h)
+                v_mean = np.sum(h * self.e[r]) - vv * sh2
+                s2 = 1.0 / (self.regv + alpha * sh2)
+                new_v = -s2 * (alpha * v_mean - 0.0 * self.regv)
+                dv = vv - new_v
+                q[r] -= x * dv
+                self.e[r] -= h * dv
+                self.v[f, i] = new_v
+        # full re-predict, e := yhat - y
+        yhat = fm_scores_dense(self.w0 if self.k0 else 0.0,
+                               self.w if self.k1 else np.zeros(self.D),
+                               self.v, self.row, self.col, self.val, self.N)
+        self.e = yhat - self.y
+        return self.e

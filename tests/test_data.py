@@ -95,23 +95,28 @@ def test_sweep_plan_shapes_and_stats():
     meta = DataMetaInfo(coo.num_features)
     plan = SweepPlan.build(coo, coo.num_features, meta.attr_group, n_shards=4)
     assert plan.num_bins == 2
-    assert plan.rows.shape[0] == 4
-    # global sx2 must equal per-column sum of x^2
+    assert plan.num_shards == 4
+    # global sx2 must equal per-column sum of x^2; every entry appears once
     sx2_ref = np.zeros(coo.num_features)
     np.add.at(sx2_ref, coo.col, coo.val.astype(np.float64) ** 2)
-    for b in range(plan.num_bins):
-        for c in range(plan.cols.shape[1]):
-            if plan.col_valid[b, c]:
-                np.testing.assert_allclose(plan.sx2[b, c], sx2_ref[plan.cols[b, c]], rtol=1e-6)
-    # padded rows must be unique & out of range
-    rps = plan.rows_per_shard
-    for s in range(4):
-        for b in range(plan.num_bins):
-            r = plan.rows[s, b]
-            pad = r[plan.x[s, b] == 0]
-            real = r[plan.x[s, b] != 0]
-            assert (real < rps).all()
-            assert len(np.unique(r)) == len(r)
+    seen_cols = []
+    total_entries = 0
+    for bin_blocks in plan.blocks:
+        for blk in bin_blocks:
+            assert blk.rows.shape[0] == 4
+            C, L = blk.rows.shape[1:]
+            assert blk.cols.shape == (C,)
+            np.testing.assert_allclose(blk.sx2, sx2_ref[blk.cols], rtol=1e-6)
+            # real entries sit below rows_per_shard; pads carry x == 0
+            real = blk.x != 0
+            assert (blk.rows[real] < plan.rows_per_shard).all()
+            total_entries += int(real.sum())
+            seen_cols.extend(blk.cols.tolist())
+            # entry counts per column match the data
+            cnt_ref = np.bincount(coo.col, minlength=coo.num_features)
+            np.testing.assert_array_equal(real.sum((0, 2)), cnt_ref[blk.cols])
+    assert total_entries == coo.nnz
+    assert sorted(seen_cols) == sorted(np.unique(coo.col).tolist())
 
 
 def test_split():

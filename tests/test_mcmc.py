@@ -1,0 +1,86 @@
+import numpy as np
+import pytest
+
+from svbfm_tpu.data.dataset import SparseDataset
+from svbfm_tpu.data.meta import DataMetaInfo
+from svbfm_tpu.data.synth import make_movielens_like, train_test_split
+from svbfm_tpu.learners.base import FMConfig, TASK_CLASSIFICATION
+from svbfm_tpu.learners.mcmc import ALSLearner, MCMCLearner
+from svbfm_tpu.parallel.mesh import make_mesh
+
+from oracle import ALSOracle
+
+
+def _setup(num_rows=96, num_users=9, num_items=7, K=3, n_dev=1, seed=2,
+           task=0, **kw):
+    coo = make_movielens_like(num_users=num_users, num_items=num_items,
+                              num_ratings=num_rows, rank=2, noise=0.4, seed=seed)
+    tr, te = train_test_split(coo, 0.25, seed=seed + 1)
+    D = coo.num_features
+    meta = DataMetaInfo.from_field_offsets(D, [0, num_users])
+    if task == TASK_CLASSIFICATION:
+        thr = np.median(tr.target)
+        tr.target = np.where(tr.target > thr, 1.0, -1.0).astype(np.float32)
+        te.target = np.where(te.target > thr, 1.0, -1.0).astype(np.float32)
+    cfg = FMConfig(num_attributes=D, num_factor=K, task=task,
+                   min_target=float(tr.target.min()), max_target=float(tr.target.max()),
+                   num_groups=meta.num_attr_groups, seed=7, **kw)
+    return tr, te, cfg, meta, make_mesh(n_dev)
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_als_matches_serial_oracle(n_dev):
+    tr, te, cfg, meta, mesh = _setup(n_dev=n_dev, regw=0.05, regv=0.05)
+    D = cfg.num_attributes
+    learner = ALSLearner(cfg, SparseDataset.from_coo(tr, D),
+                         SparseDataset.from_coo(te, D), meta, mesh=mesh,
+                         write_files=False)
+    state = learner.init_state()
+    orc = ALSOracle(tr.row, tr.col, tr.val, tr.target, D, cfg.num_factor,
+                    groups=meta.attr_group, regw=0.05, regv=0.05)
+    orc.init(float(state.w0), np.asarray(state.w), np.asarray(state.v))
+    np.testing.assert_allclose(np.asarray(state.e)[: tr.num_rows], orc.e,
+                               rtol=2e-4, atol=2e-4)
+    for it in range(3):
+        state = learner._step(state, learner.train_row, learner.plan_data)
+        orc.iterate()
+        np.testing.assert_allclose(float(state.w0), orc.w0, rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(state.w), orc.w, rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(state.v), orc.v, rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(state.e)[: tr.num_rows], orc.e,
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_als_converges():
+    tr, te, cfg, meta, mesh = _setup(num_rows=2000, num_users=30, num_items=25,
+                                     K=4, regw=0.1, regv=0.1)
+    D = cfg.num_attributes
+    learner = ALSLearner(cfg, SparseDataset.from_coo(tr, D),
+                         SparseDataset.from_coo(te, D), meta, mesh=mesh,
+                         write_files=False)
+    state, history = learner.run(num_iter=10, verbose=False)
+    assert history[-1]["rmse_this"] < history[0]["rmse_this"]
+    assert history[-1]["rmse_this"] < 1.0
+
+
+def test_mcmc_converges_posterior_mean():
+    tr, te, cfg, meta, mesh = _setup(num_rows=3000, num_users=30, num_items=25, K=4)
+    D = cfg.num_attributes
+    learner = MCMCLearner(cfg, SparseDataset.from_coo(tr, D),
+                          SparseDataset.from_coo(te, D), meta, mesh=mesh,
+                          write_files=False)
+    state, history = learner.run(num_iter=15, verbose=False)
+    assert history[-1]["rmse"] < history[0]["rmse"]
+    assert history[-1]["rmse"] < 1.0
+    assert np.isfinite(history[-1]["alpha"])
+
+
+def test_mcmc_classification():
+    tr, te, cfg, meta, mesh = _setup(num_rows=3000, num_users=30, num_items=25,
+                                     K=4, task=TASK_CLASSIFICATION)
+    D = cfg.num_attributes
+    learner = MCMCLearner(cfg, SparseDataset.from_coo(tr, D),
+                          SparseDataset.from_coo(te, D), meta, mesh=mesh,
+                          write_files=False)
+    state, history = learner.run(num_iter=10, verbose=False)
+    assert history[-1]["accuracy"] > 0.6
