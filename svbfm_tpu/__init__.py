@@ -14,5 +14,23 @@ Inference menu (parity with the reference CLI ``-method`` flag):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: sweep programs over large sparse data
+# take tens of seconds to compile (gather/scatter-heavy graphs); steady-state
+# steps are sub-millisecond, so caching compilations across processes is the
+# single biggest end-to-end win.  Opt out with SVBFM_NO_COMPILE_CACHE=1.
+if _os.environ.get("SVBFM_NO_COMPILE_CACHE") != "1":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            _os.path.expanduser("~/.cache/svbfm_jax")))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from svbfm_tpu.data.dataset import SparseDataset, SweepPlan  # noqa: F401
 from svbfm_tpu.models.fm import FMParams, fm_predict  # noqa: F401

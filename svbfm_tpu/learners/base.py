@@ -49,6 +49,12 @@ class FMConfig:
     do_sample: bool = True
     do_multilevel: bool = True
     num_batches: int = 50  # online methods' epoch chunking (-batch flag)
+    # factors per block in VB/MCMC v sweeps: within a block factors update
+    # Jacobi-style from the block-entry residuals (e/q patches stay exact
+    # because the FM score is additive over factors).  1 = reference-exact
+    # factor-sequential Gauss-Seidel; 0 = all K at once (fast: index passes
+    # per sweep drop from O(K) to O(1), the TPU bottleneck).
+    factor_block: int = 0
     batch_size: int = 0  # SGD minibatch size; 0 = full vectorized "per-example" epoch
     stdev: float = 1.0  # exp-SGD residual scale (-stdev flag)
 

@@ -77,8 +77,11 @@ def _psum(x):
     return jax.lax.psum(x, DATA_AXIS)
 
 
+from svbfm_tpu.ops.segment import take_cols, take_rows
+
+
 def _gather(a, idx):
-    return jnp.take(a, idx, mode="clip")
+    return take_rows(a, idx)
 
 
 def _maybe_sample(do_sample: bool, key, mean, sigma_sqr, old, zero_on_bad_sigma=True):
@@ -175,7 +178,7 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
                 w = w.at[blk.cols].set(new_w)
                 dw = dw.at[blk.cols].set(w_c - new_w)
             # one row-layout residual patch per bin: e -= x * (w_old - w_new)
-            e = e - (row.vals * jnp.take(dw, row.ids, axis=0)).sum(-1)
+            e = e - (row.vals * take_rows(dw, row.ids)).sum(-1)
         # unobserved columns: posterior = prior N(mu_g, 1/lambda_g)
         mu_d = _gather(w_mu, plan.attr_group)
         lam_d = _gather(w_lambda, plan.attr_group)
@@ -186,8 +189,9 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
     # --- group hyperpriors for v (fm_learn_mcmc.h:1011-1089) ---
     if K > 0:
         if cfg.do_multilevel:
+            # v [K, D] minus per-attribute group mean: v_mu[group[d], f]
             dev = jax.ops.segment_sum(
-                ((v - _gather(v_mu.T, plan.attr_group).T) ** 2).T,
+                ((v - take_rows(v_mu, plan.attr_group).T) ** 2).T,
                 plan.attr_group, num_segments=G)  # [G, K]
             lam_gamma = beta_0 * (v_mu - mu_0) ** 2 + gamma_0 + dev
             lam_alpha = alpha_0 + plan.num_attr_per_group[:, None] + 1.0
@@ -210,7 +214,7 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
         def f_step(carry, xs):
             e, key = carry
             v_f, mu_f, lam_f = xs  # [D], [G], [G]
-            q = (jnp.take(v_f, row.ids, axis=-1) * row.vals).sum(-1)
+            q = (take_rows(v_f, row.ids) * row.vals).sum(-1)
 
             for bin_blocks in plan.blocks:
                 v_old_d = v_f  # pre-bin snapshot (functional)
@@ -234,8 +238,8 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
                     dv = dv.at[blk.cols].set(v_c - new_v)
                 # one row-layout patch per bin: h from pre-bin q and v
                 ids, x_r = row.ids, row.vals
-                v_e = jnp.take(v_old_d, ids, axis=0)
-                dv_e = jnp.take(dv, ids, axis=0)
+                v_e = take_rows(v_old_d, ids)
+                dv_e = take_rows(dv, ids)
                 h_e = x_r * (q[:, None] - x_r * v_e)
                 q = q - (x_r * dv_e).sum(-1)
                 e = e - (h_e * dv_e).sum(-1)
@@ -325,6 +329,92 @@ class MCMCLearner:
             return fm_scores(w0, w, v, ids, vals, k0=cfg.k0, k1=cfg.k1)
 
         self._scores = jax.jit(scores_fn)
+        self._fused_cache = {}
+
+    def _iter_body(self, carry, row, plan, trow, it0):
+        """One Gibbs draw + in-program eval with running posterior-mean
+        accumulators (pred_sum_all / all_but5,
+        fm_learn_mcmc_simultaneous.h:152-302).  Runs inside shard_map."""
+        cfg = self.cfg
+        state, psum_all, psum_but5, it = carry
+        state = mcmc_draw_all(state, row, plan, cfg, float(self.train_n))
+        scores = fm_scores(state.w0, state.w, state.v, trow.ids, trow.vals,
+                           k0=cfg.k0, k1=cfg.k1)
+        nt = jnp.asarray(float(self.test_n), scores.dtype)
+        itf = it.astype(scores.dtype)
+        if cfg.task == TASK_REGRESSION:
+            p = jnp.clip(scores, cfg.min_target, cfg.max_target)
+            psum_all = psum_all + p
+            psum_but5 = psum_but5 + jnp.where(it >= 5, p, 0.0)
+            def _rmse(pred, norm):
+                pr = jnp.clip(pred * norm, cfg.min_target, cfg.max_target)
+                err = (pr - trow.target) * trow.valid
+                return jnp.sqrt(_psum(jnp.sum(err * err)) / nt)
+            err_this = (p - trow.target) * trow.valid
+            rmse_this = jnp.sqrt(_psum(jnp.sum(err_this * err_this)) / nt)
+            rmse_all = _rmse(psum_all, 1.0 / (itf + 1.0))
+            rmse_but5 = jnp.where(
+                it >= 5, _rmse(psum_but5, 1.0 / jnp.maximum(itf - 4.0, 1.0)),
+                rmse_all)
+            metrics = dict(rmse=rmse_all, rmse_this=rmse_this,
+                           rmse_all_but5=rmse_but5, alpha=state.alpha)
+        else:
+            prob = ref_cdf_gaussian(scores)
+            psum_all = psum_all + prob
+            psum_but5 = psum_but5 + jnp.where(it >= 5, prob, 0.0)
+            pm = psum_all / (itf + 1.0)
+            yt = trow.target
+            hit = (((pm >= 0.5) & (yt > 0)) | ((pm < 0.5) & (yt < 0)))
+            acc = _psum(jnp.sum(hit * trow.valid)) / nt
+            m = (yt + 1.0) * 0.5
+            pll = jnp.clip(pm, 0.01, 0.99)
+            ll = -_psum(jnp.sum((m * jnp.log10(pll) + (1 - m) * jnp.log10(1 - pll))
+                                * trow.valid)) / nt
+            metrics = dict(accuracy=acc, loglik=ll, alpha=state.alpha)
+            state = self._resample_class_targets_jax(state, row)
+        return (state, psum_all, psum_but5, it + 1), metrics
+
+    def _resample_class_targets_jax(self, state, row):
+        """Truncated-normal latent resampling
+        (fm_learn_mcmc_simultaneous.h:196-219).  e currently equals yhat."""
+        from svbfm_tpu.learners.base import (truncnorm_mean_negative,
+                                             truncnorm_mean_positive)
+        e = state.e
+        y = row.target
+        key, sub = jax.random.split(state.key)
+        if self.cfg.do_sample:
+            sub = jax.random.fold_in(sub, jax.lax.axis_index(DATA_AXIS))
+            u = jax.random.uniform(sub, e.shape, e.dtype, 1e-7, 1.0 - 1e-7)
+            lo = ref_cdf_gaussian(-e)  # P(z < 0), z ~ N(e,1)
+            cdf = jnp.where(y >= 0, lo + u * (1 - lo), u * lo)
+            cdf = jnp.clip(cdf, 1e-7, 1 - 1e-7)
+            sampled = e + jnp.sqrt(2.0) * jax.scipy.special.erfinv(2 * cdf - 1)
+        else:
+            sampled = jnp.where(y >= 0, truncnorm_mean_positive(e),
+                                truncnorm_mean_negative(e))
+        return state.replace(e=e - sampled, key=key)
+
+    def _fused_steps(self, chunk: int):
+        if chunk in self._fused_cache:
+            return self._fused_cache[chunk]
+        shd = P(DATA_AXIS)
+
+        def multi(state, psum_all, psum_but5, it0, row, plan, trow):
+            def body(carry, _):
+                return self._iter_body(carry, row, plan, trow, it0)
+
+            (state, psum_all, psum_but5, it), metrics = jax.lax.scan(
+                body, (state, psum_all, psum_but5, it0), None, length=chunk)
+            return state, psum_all, psum_but5, it, metrics
+
+        fn = jax.jit(jax.shard_map(
+            multi, mesh=self.mesh,
+            in_specs=(_state_specs(), shd, shd, P(), _row_specs(),
+                      plan_specs_for(self.plan_data), _row_specs()),
+            out_specs=(_state_specs(), shd, shd, P(), P()),
+        ))
+        self._fused_cache[chunk] = fn
+        return fn
 
     def init_state(self, key: Optional[jax.Array] = None) -> MCMCState:
         cfg = self.cfg
@@ -337,7 +427,7 @@ class MCMCLearner:
                             self.train_row.ids, self.train_row.vals)
         e = yhat - self.train_row.target  # e = yhat - y (MCMC sign convention)
         G, K = cfg.num_groups, cfg.num_factor
-        return MCMCState(
+        state = MCMCState(
             w0=params.w0, w=params.w, v=params.v,
             alpha=jnp.ones((), jnp.float32),
             w_mu=jnp.zeros((G,), jnp.float32),
@@ -345,6 +435,11 @@ class MCMCLearner:
             v_mu=jnp.zeros((G, K), jnp.float32),
             v_lambda=jnp.asarray(self.v_lambda_init, jnp.float32),
             e=e, key=key)
+        # match the step's output shardings to avoid a recompile on step 1
+        from jax.sharding import NamedSharding
+        shardings = jax.tree.map(lambda spec: NamedSharding(self.mesh, spec),
+                                 _state_specs())
+        return jax.device_put(state, shardings)
 
     def predict_test_scores(self, state: MCMCState) -> np.ndarray:
         s = self._scores(state.w0, state.w, state.v,
@@ -352,70 +447,49 @@ class MCMCLearner:
         return np.asarray(s)[: self.test_n]
 
     def run(self, state: Optional[MCMCState] = None, num_iter: Optional[int] = None,
-            verbose: bool = True):
+            verbose: bool = True, chunk: Optional[int] = None):
+        """Run ``num_iter`` Gibbs/ALS iterations with fused on-device eval
+        (posterior-mean prediction accumulators carried across chunks)."""
         cfg = self.cfg
         if state is None:
             state = self.init_state()
         num_iter = num_iter if num_iter is not None else cfg.num_iter
+        if chunk is None:
+            chunk = num_iter if num_iter <= 25 else 10
         rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
                                    self.write_files)
-        pred_sum_all = np.zeros(self.test_n)
-        pred_sum_but5 = np.zeros(self.test_n)
+        from jax.sharding import NamedSharding
+        shd = NamedSharding(self.mesh, P(DATA_AXIS))
+        n_pad = self.test_row.target.shape[0]
+        psum_all = jax.device_put(jnp.zeros((n_pad,), jnp.float32), shd)
+        psum_but5 = jax.device_put(jnp.zeros((n_pad,), jnp.float32), shd)
+        it_dev = jnp.zeros((), jnp.int32)
         history = []
-        for it in range(num_iter):
-            state = self._step(state, self.train_row, self.plan_data)
-            scores = self.predict_test_scores(state)
-            rec = {"iter": it, "alpha": float(state.alpha)}
-            if cfg.task == TASK_REGRESSION:
-                p = np.clip(scores, cfg.min_target, cfg.max_target)
-                pred_sum_all += p
-                if it >= 5:
-                    pred_sum_but5 += p
-                rmse_this, _ = evaluate_regression(scores, self.test_target_np,
-                                                   cfg.min_target, cfg.max_target)
-                rmse_all, mae_all = evaluate_regression(
-                    pred_sum_all, self.test_target_np, cfg.min_target,
-                    cfg.max_target, normalizer=1.0 / (it + 1))
-                rmse_file.append(rmse_all)
-                rec.update(rmse=rmse_all, rmse_this=rmse_this, mae=mae_all)
-                if verbose:
-                    print(f"#Iter={it:3d}\tTest={rmse_all:.6g}\tTest(this)={rmse_this:.6g}")
-            else:
-                prob = np.asarray(ref_cdf_gaussian(jnp.asarray(scores)))
-                pred_sum_all += prob
-                if it >= 5:
-                    pred_sum_but5 += prob
-                acc, ll = evaluate_classification(pred_sum_all, self.test_target_np,
-                                                  normalizer=1.0 / (it + 1))
-                rmse_file.append(acc)
-                rec.update(accuracy=acc, loglik=ll)
-                if verbose:
-                    print(f"#Iter={it:3d}\tTest={acc:.6g}")
-                state = self._resample_class_targets(state, it)
-            history.append(rec)
+        it = 0
+        done = 0
+        while done < num_iter:
+            n = min(chunk, num_iter - done)
+            fn = self._fused_steps(n)
+            state, psum_all, psum_but5, it_dev, metrics = fn(
+                state, psum_all, psum_but5, it_dev, self.train_row,
+                self.plan_data, self.test_row)
+            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            for j in range(n):
+                rec = {"iter": it}
+                rec.update({k: float(v[j]) for k, v in metrics.items()})
+                if cfg.task == TASK_REGRESSION:
+                    rmse_file.append(rec["rmse"])
+                    if verbose:
+                        print(f"#Iter={it:3d}\tTest={rec['rmse']:.6g}"
+                              f"\tTest(this)={rec['rmse_this']:.6g}")
+                else:
+                    rmse_file.append(rec["accuracy"])
+                    if verbose:
+                        print(f"#Iter={it:3d}\tTest={rec['accuracy']:.6g}")
+                history.append(rec)
+                it += 1
+            done += n
         return state, history
-
-    def _resample_class_targets(self, state: MCMCState, it: int) -> MCMCState:
-        """Truncated-normal latent resampling
-        (fm_learn_mcmc_simultaneous.h:196-219).  e currently equals yhat."""
-        from svbfm_tpu.learners.base import truncnorm_mean_negative, truncnorm_mean_positive
-        e = state.e
-        y = self.train_target
-        key, sub = jax.random.split(state.key)
-        if self.cfg.do_sample:
-            u = jax.random.uniform(sub, e.shape, e.dtype, 1e-7, 1.0 - 1e-7)
-            # inverse-cdf truncated normal around mean e, sd 1
-            lo = ref_cdf_gaussian(-e)  # P(z < 0), z ~ N(e,1) -> Phi(-e)
-            cdf = jnp.where(y >= 0, lo + u * (1 - lo), u * lo)
-            cdf = jnp.clip(cdf, 1e-7, 1 - 1e-7)
-            z = e + jnp.sqrt(2.0) * jax.scipy.special.erfinv(2 * cdf - 1)
-            sampled = z
-        else:
-            from svbfm_tpu.learners.base import (truncnorm_mean_negative,
-                                                 truncnorm_mean_positive)
-            sampled = jnp.where(y >= 0, truncnorm_mean_positive(e),
-                                truncnorm_mean_negative(e))
-        return state.replace(e=e - sampled, key=key)
 
 
 class ALSLearner(MCMCLearner):

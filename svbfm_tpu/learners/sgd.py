@@ -51,6 +51,7 @@ from svbfm_tpu.learners.base import (
 )
 from svbfm_tpu.models.fm import init_fm_params
 from svbfm_tpu.ops.forward import fm_scores
+from svbfm_tpu.ops.segment import take_cols, take_rows
 from svbfm_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
 TASK_POISSON = 2
@@ -140,7 +141,7 @@ def sgd_minibatch_update(w0, w, v, ids, vals, y, valid, cfg: FMConfig,
              - damp(cnt) * gw / cnt1)
 
     # factor gradients: grad_v_fi = mult * (x * s_f - v_fi * x^2)
-    vg = jnp.take(v, ids, axis=-1)  # [K, B, P]
+    vg = take_cols(v, ids)  # [K, B, P]
     s = (vg * vals[None]).sum(-1)  # [K, B]
     grad_v_entries = mult[None, :, None] * (
         s[:, :, None] * vals[None] - vg * (vals * vals)[None])  # [K, B, P]
@@ -214,13 +215,13 @@ def sgda_epoch(state: SGDAState, row: RowData, val_row: RowData, cfg: FMConfig,
 
         if do_lambda:
             # --- lambda step on validation (adapt_reg.h:193-236) ---
-            g_of = jnp.take(attr_group, vids)  # [B, P]
-            w_g = jnp.take(w, vids)
-            v_g = jnp.take(v, vids, axis=-1)  # [K, B, P]
-            gw_g = jnp.take(grad_w, vids)
-            gv_g = jnp.take(grad_v, vids, axis=-1)
-            rw_g = jnp.take(jnp.take(reg_w, attr_group), vids)
-            rv_g = jnp.take(jnp.take(reg_v, attr_group, axis=0).T, vids, axis=-1)
+            g_of = take_rows(attr_group, vids)  # [B, P]
+            w_g = take_rows(w, vids)
+            v_g = take_cols(v, vids)  # [K, B, P]
+            gw_g = take_rows(grad_w, vids)
+            gv_g = take_cols(grad_v, vids)
+            rw_g = take_rows(jnp.take(reg_w, attr_group), vids)
+            rv_g = take_cols(jnp.take(reg_v, attr_group, axis=0).T, vids)
 
             vmask = (vvals != 0).astype(vvals.dtype) * vvalid[:, None]
             # forecasted parameters theta' = theta - lr*(grad + 2 reg theta)
@@ -341,7 +342,10 @@ class SGDLearner:
         key, kinit = jax.random.split(key)
         params = init_fm_params(kinit, cfg.num_attributes, cfg.num_factor,
                                 init_stdev=cfg.init_stdev)
-        return SGDState(w0=params.w0, w=params.w, v=params.v, key=key)
+        state = SGDState(w0=params.w0, w=params.w, v=params.v, key=key)
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        return jax.device_put(state, SGDState(w0=rep, w=rep, v=rep, key=rep))
 
     def predict_test_scores(self, state) -> np.ndarray:
         s = self._scores(state.w0, state.w, state.v,

@@ -108,8 +108,11 @@ def _psum(x):
     return jax.lax.psum(x, DATA_AXIS)
 
 
+from svbfm_tpu.ops.segment import take_rows
+
+
 def _gather(a, idx):
-    return jnp.take(a, idx, mode="clip")
+    return take_rows(a, idx)
 
 
 def vb_w_bin_update(e, t, mu_w, sigma_w_dash, sigma_w, alpha, bin_blocks, row):
@@ -138,78 +141,96 @@ def vb_w_bin_update(e, t, mu_w, sigma_w_dash, sigma_w, alpha, bin_blocks, row):
         dsig = dsig.at[blk.cols].set(sigma_new - sig_c)
     # row-layout patch (e += x*(mu_old-mu_new), t += x^2*(sig_new-sig_old))
     x_r = row.vals
-    e = e + (x_r * jnp.take(dmu, row.ids, axis=0)).sum(-1)
-    t = t + (x_r * x_r * jnp.take(dsig, row.ids, axis=0)).sum(-1)
+    e = e + (x_r * take_rows(dmu, row.ids)).sum(-1)
+    t = t + (x_r * x_r * take_rows(dsig, row.ids)).sum(-1)
     return e, t, mu_w, sigma_w_dash
 
 
-def vb_v_bin_update(e, t, q, tq, tz, mu_vf, sig_vf, sv_f, alpha, bin_blocks,
-                    row, attr_group):
-    """One conflict-free bin of the factor-f sweep (fm_learn_vb.h:577-644).
+def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
+                      fmask=None):
+    """Coordinate sweep for a *block* of F factors (fm_learn_vb.h:577-644).
 
-    q  = sum_i mu'_v,fi x_i      (per row)
-    tq = sum_i sigma'_v,fi x_i^2
-    tz = sum_i mu'^2_v,fi x_i^2
+    mu_t/sig_t are [D, F] slices of the variational factor tables; sv_t is
+    the [D, F] per-attribute prior precision.  All per-entry reads are
+    channel-stacked so each bin costs exactly TWO index passes (one [C, L]
+    stats gather, one [N, P] patch gather) regardless of F — gathers on TPU
+    are per-index bound, so batching factors divides index work by F.
+
+    Semantics: bins sequential (exact Gauss-Seidel over columns), factors
+    within the block Jacobi (each factor's stats see the block-entry e;
+    e/q patches are still *exact* because the FM score is additive over
+    factors).  F=1 reproduces the reference's factor-sequential sweep
+    exactly; F=K is the fast mode.
+
+    Row caches per factor: q = sum_i mu x_i, tq = sum_i sig x_i^2,
+    tz = sum_i mu^2 x_i^2 (add_main_q, fm_learn_vb.h:354-381).
     """
-    D = mu_vf.shape[0]
-    mu_old_d, sig_old_d = mu_vf, sig_vf  # pre-bin snapshots (functional)
-    dmu = jnp.zeros((D,), mu_vf.dtype)
-    dsig = jnp.zeros((D,), mu_vf.dtype)
-    dmu2 = jnp.zeros((D,), mu_vf.dtype)
-    for blk in bin_blocks:
-        rows, x = blk.rows[0], blk.x[0]
-        x2 = x * x
-        mu_c = _gather(mu_old_d, blk.cols)
-        sig_c = _gather(sig_old_d, blk.cols)
-        sv_g = _gather(sv_f, blk.group)
-        e_g = _gather(e, rows)
-        q_g = _gather(q, rows)
-        tq_g = _gather(tq, rows)
-        h = q_g - x * mu_c[:, None]
-        h1 = tq_g - x2 * sig_c[:, None]
-        v_mean = _psum((x * h * (e_g + x * mu_c[:, None] * h)).sum(-1))
-        v_sig = _psum((x2 * h * h + x2 * h1).sum(-1))
-        sigma_new = 1.0 / (sv_g + alpha * v_sig)
-        sigma_new = keep_finite(sigma_new, sig_c)
-        mu_new = sigma_new * alpha * v_mean
-        mu_new = keep_finite(mu_new, mu_c)
-        mu_vf = mu_vf.at[blk.cols].set(mu_new)
-        sig_vf = sig_vf.at[blk.cols].set(sigma_new)
-        dmu = dmu.at[blk.cols].set(mu_new - mu_c)
-        dsig = dsig.at[blk.cols].set(sigma_new - sig_c)
-        dmu2 = dmu2.at[blk.cols].set(mu_new * mu_new - mu_c * mu_c)
-
-    # ONE row-layout cache patch for the whole bin.  Per-entry old values
-    # come from the pre-bin dense tables; deltas are 0 for out-of-bin
-    # columns so their terms vanish.  Exact for conflict-free bins (a row
-    # has at most one in-bin entry); Jacobi-approximate otherwise.
+    D, F = mu_t.shape
     ids, x_r = row.ids, row.vals
-    x2_r = x_r * x_r
-    mu_e = jnp.take(mu_old_d, ids, axis=0)
-    sig_e = jnp.take(sig_old_d, ids, axis=0)
-    dmu_e = jnp.take(dmu, ids, axis=0)
-    dsig_e = jnp.take(dsig, ids, axis=0)
-    dmu2_e = jnp.take(dmu2, ids, axis=0)
-    he = x_r * (q[:, None] - x_r * mu_e)
-    h1e = x2_r * (tq[:, None] - x2_r * sig_e)
-    h2e = x2_r * (tz[:, None] - x2_r * mu_e * mu_e)
-    q = q + (x_r * dmu_e).sum(-1)
-    tq = tq + (x2_r * dsig_e).sum(-1)
-    tz = tz + (x2_r * dmu2_e).sum(-1)
-    e = e - (he * dmu_e).sum(-1)
-    t = t + ((h1e + h2e) * dsig_e + h1e * dmu2_e).sum(-1)
-    return e, t, q, tq, tz, mu_vf, sig_vf
+    x_re = x_r[:, :, None]
+    x2_re = x_re * x_re
 
+    # build q/tq/tz [N, F] with ONE stacked gather from [D, 2F]
+    ptab = jnp.concatenate([mu_t, sig_t], axis=-1)
+    pg = take_rows(ptab, ids)  # [N, P, 2F]
+    mug, sigg = pg[..., :F], pg[..., F:]
+    q = (mug * x_re).sum(1)
+    tq = (sigg * x2_re).sum(1)
+    tz = (mug * mug * x2_re).sum(1)
 
-def _row_q_terms(mu_vf, sig_vf, ids, vals):
-    """add_main_q (fm_learn_vb.h:354-381) from the row layout."""
-    x2 = vals * vals
-    mv = jnp.take(mu_vf, ids, axis=-1)
-    sv = jnp.take(sig_vf, ids, axis=-1)
-    q = (mv * vals).sum(-1)
-    tq = (sv * x2).sum(-1)
-    tz = (mv * mv * x2).sum(-1)
-    return q, tq, tz
+    for bin_blocks in plan.blocks:
+        mu_old_t, sig_old_t = mu_t, sig_t  # pre-bin snapshots (functional)
+        dmu_d = jnp.zeros((D, F), mu_t.dtype)
+        dsig_d = jnp.zeros((D, F), mu_t.dtype)
+        dmu2_d = jnp.zeros((D, F), mu_t.dtype)
+        stab = jnp.concatenate([e[:, None], q, tq], axis=-1)  # [N, 1+2F]
+        for blk in bin_blocks:
+            x = blk.x[0][:, :, None]  # [C, L, 1]
+            x2 = x * x
+            g = take_rows(stab, blk.rows[0])  # [C, L, 1+2F]
+            e_g = g[..., :1]
+            q_g = g[..., 1:1 + F]
+            tq_g = g[..., 1 + F:]
+            mu_c = take_rows(mu_old_t, blk.cols)  # [C, F]
+            sig_c = take_rows(sig_old_t, blk.cols)
+            sv_g = take_rows(sv_t, blk.cols)
+            h = q_g - x * mu_c[:, None, :]
+            h1 = tq_g - x2 * sig_c[:, None, :]
+            v_mean = _psum((x * h * (e_g + x * mu_c[:, None, :] * h)).sum(1))
+            v_sig = _psum((x2 * h * h + x2 * h1).sum(1))
+            sigma_new = 1.0 / (sv_g + alpha * v_sig)
+            sigma_new = keep_finite(sigma_new, sig_c)
+            mu_new = sigma_new * alpha * v_mean
+            mu_new = keep_finite(mu_new, mu_c)
+            if fmask is not None:  # padded factors: freeze
+                mu_new = jnp.where(fmask, mu_new, mu_c)
+                sigma_new = jnp.where(fmask, sigma_new, sig_c)
+            mu_t = mu_t.at[blk.cols].set(mu_new)
+            sig_t = sig_t.at[blk.cols].set(sigma_new)
+            dmu_d = dmu_d.at[blk.cols].set(mu_new - mu_c)
+            dsig_d = dsig_d.at[blk.cols].set(sigma_new - sig_c)
+            dmu2_d = dmu2_d.at[blk.cols].set(mu_new * mu_new - mu_c * mu_c)
+
+        # ONE stacked row-layout patch gather per bin: [D, 5F] table.
+        # Deltas are 0 for out-of-bin columns so their terms vanish; exact
+        # for conflict-free bins (a row has <=1 in-bin entry).
+        dtab = jnp.concatenate([mu_old_t, sig_old_t, dmu_d, dsig_d, dmu2_d],
+                               axis=-1)
+        gg = take_rows(dtab, ids)  # [N, P, 5F]
+        mu_e = gg[..., 0 * F:1 * F]
+        sig_e = gg[..., 1 * F:2 * F]
+        dmu_e = gg[..., 2 * F:3 * F]
+        dsig_e = gg[..., 3 * F:4 * F]
+        dmu2_e = gg[..., 4 * F:5 * F]
+        he = x_re * (q[:, None, :] - x_re * mu_e)
+        h1e = x2_re * (tq[:, None, :] - x2_re * sig_e)
+        h2e = x2_re * (tz[:, None, :] - x2_re * mu_e * mu_e)
+        q = q + (x_re * dmu_e).sum(1)
+        tq = tq + (x2_re * dsig_e).sum(1)
+        tz = tz + (x2_re * dmu2_e).sum(1)
+        e = e - (he * dmu_e).sum((1, 2))
+        t = t + ((h1e + h2e) * dsig_e + h1e * dmu2_e).sum((1, 2))
+    return e, t, mu_t, sig_t
 
 
 def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, num_cases: float):
@@ -244,24 +265,55 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
         mu_w = jnp.where(plan.unobserved, jnp.zeros((), dtype), mu_w)
 
     # --- v sweeps, factor-major (fm_learn_vb.h:409-440) ---
-    if cfg.num_factor > 0:
-        def f_step(carry, xs):
+    K = cfg.num_factor
+    if K > 0:
+        F = cfg.factor_block if cfg.factor_block > 0 else K
+        F = min(F, K)
+        nb = -(-K // F)
+        K_pad = nb * F
+        # sigma_v as a dense [D, K] per-attribute prior precision table
+        sv_dk = take_rows(state.sigma_v, plan.attr_group)  # [D, K]
+
+        def pad_f(a):  # [K, D] -> [nb, F, D]
+            if K_pad != K:
+                a = jnp.concatenate(
+                    [a, jnp.ones((K_pad - K,) + a.shape[1:], a.dtype)], 0)
+            return a.reshape(nb, F, *a.shape[1:])
+
+        fmask = None
+        if K_pad != K:
+            fmask = (jnp.arange(K_pad).reshape(nb, F) < K)
+
+        def blk_step(carry, xs):
             e, t = carry
-            mu_vf, sig_vf, sv_f = xs  # [D], [D], [G]
-            q, tq, tz = _row_q_terms(mu_vf, sig_vf, row.ids, row.vals)
+            if fmask is None:
+                mu_b, sig_b, sv_b = xs
+                m = None
+            else:
+                mu_b, sig_b, sv_b, m = xs
+                m = m[None, :]
+            e, t, mu_bt, sig_bt = vb_v_block_update(
+                e, t, mu_b.T, sig_b.T, sv_b.T, alpha, plan, row, fmask=m)
+            return (e, t), (mu_bt.T, sig_bt.T)
 
-            for bin_blocks in plan.blocks:
-                e, t, q, tq, tz, mu_vf, sig_vf = vb_v_bin_update(
-                    e, t, q, tq, tz, mu_vf, sig_vf, sv_f, alpha, bin_blocks,
-                    row, plan.attr_group)
+        xs = (pad_f(mu_v), pad_f(sigma_v_dash),
+              pad_f(sv_dk.T))
+        if fmask is not None:
+            xs = xs + (fmask,)
+        if nb == 1:
+            # avoid lax.scan for a single block: a scan body closing over
+            # the (large, loop-invariant) plan arrays compiles to a while
+            # loop that re-materializes them per iteration
+            (e, t), out = blk_step((e, t), jax.tree.map(lambda a: a[0], xs))
+            mu_vp, sig_vp = jax.tree.map(lambda a: a[None], out)
+        else:
+            (e, t), (mu_vp, sig_vp) = jax.lax.scan(blk_step, (e, t), xs)
+        mu_v = mu_vp.reshape(K_pad, -1)[:K]
+        sigma_v_dash = sig_vp.reshape(K_pad, -1)[:K]
 
-            sv_d = jnp.take(sv_f, plan.attr_group)
-            sig_vf = jnp.where(plan.unobserved, 1.0 / sv_d, sig_vf)
-            mu_vf = jnp.where(plan.unobserved, jnp.zeros((), dtype), mu_vf)
-            return (e, t), (mu_vf, sig_vf)
-
-        (e, t), (mu_v, sigma_v_dash) = jax.lax.scan(
-            f_step, (e, t), (mu_v, sigma_v_dash, state.sigma_v.T))
+        sv_d = sv_dk.T  # [K, D]
+        sigma_v_dash = jnp.where(plan.unobserved[None, :], 1.0 / sv_d, sigma_v_dash)
+        mu_v = jnp.where(plan.unobserved[None, :], jnp.zeros((), dtype), mu_v)
 
     # --- hyperparameter updates (fm_learn_vb.h:446-498) ---
     alpha_temp = _psum(jnp.sum((e * e + t) * row.valid))
@@ -360,6 +412,67 @@ class VBLearner:
             return fm_t_terms(s0, sw, mv, sv, ids, vals, k0=cfg.k0, k1=cfg.k1)
 
         self._tterms = jax.jit(t_fn)
+        self._fused_cache = {}
+
+    def _iter_body(self, state, row, plan, trow):
+        """One sweep + in-program test eval (and classification resampling).
+        Runs inside shard_map; returns (state, per-iteration metrics)."""
+        cfg = self.cfg
+        state, fe = vb_update_all(state, row, plan, cfg, float(self.train_n))
+        scores = fm_scores(state.mu_0, state.mu_w, state.mu_v,
+                           trow.ids, trow.vals, k0=cfg.k0, k1=cfg.k1)
+        nt = jnp.asarray(float(self.test_n), scores.dtype)
+        if cfg.task == TASK_REGRESSION:
+            p = jnp.clip(scores, cfg.min_target, cfg.max_target)
+            err = (p - trow.target) * trow.valid
+            rmse = jnp.sqrt(_psum(jnp.sum(err * err)) / nt)
+            mae = _psum(jnp.sum(jnp.abs(err))) / nt
+            e_c = jnp.clip(state.e, cfg.min_target, cfg.max_target)
+            train_rmse = jnp.sqrt(
+                _psum(jnp.sum(e_c * e_c * row.valid))
+                / jnp.asarray(float(self.train_n), scores.dtype))
+            metrics = dict(free_energy=fe, rmse=rmse, mae=mae,
+                           train_rmse=train_rmse)
+        else:
+            prob = ref_cdf_gaussian(scores)
+            yt = trow.target
+            hit = (((prob >= 0.5) & (yt > 0)) | ((prob < 0.5) & (yt < 0)))
+            acc = _psum(jnp.sum(hit * trow.valid)) / nt
+            m = (yt + 1.0) * 0.5
+            pll = jnp.clip(prob, 0.01, 0.99)
+            ll = -_psum(jnp.sum(
+                (m * jnp.log10(pll) + (1 - m) * jnp.log10(1 - pll))
+                * trow.valid)) / nt
+            metrics = dict(free_energy=fe, accuracy=acc, loglik=ll)
+            # probit e-resampling (fm_learn_vb_simultaneous.h:172-200)
+            e = state.e
+            sampled = jnp.where(row.target >= 0, truncnorm_mean_positive(e),
+                                truncnorm_mean_negative(e))
+            state = state.replace(e=sampled - e)
+        return state, metrics
+
+    def _fused_steps(self, chunk: int):
+        """One compiled program running `chunk` sweeps, each followed by
+        in-program test evaluation — outputs only the [chunk]-long metric
+        arrays plus the final state, so host<->device traffic is O(1) per
+        chunk instead of O(state) per iteration."""
+        if chunk in self._fused_cache:
+            return self._fused_cache[chunk]
+
+        def multi(state, row, plan, trow):
+            def body(st, _):
+                return self._iter_body(st, row, plan, trow)
+
+            return jax.lax.scan(body, state, None, length=chunk)
+
+        fn = jax.jit(jax.shard_map(
+            multi, mesh=self.mesh,
+            in_specs=(_state_specs(), _row_specs(), plan_specs_for(self.plan_data),
+                      _row_specs()),
+            out_specs=(_state_specs(), P()),
+        ))
+        self._fused_cache[chunk] = fn
+        return fn
 
     def init_state(self, key: Optional[jax.Array] = None) -> VBState:
         cfg = self.cfg
@@ -371,7 +484,13 @@ class VBLearner:
         e = self.train_row.target - yhat  # e = y - yhat (VB sign convention)
         t = self._tterms((p["sigma_0_dash"], p["sigma_w_dash"], p["mu_v"], p["sigma_v_dash"]),
                          self.train_row.ids, self.train_row.vals)
-        return VBState(e=e, t=t, **p)
+        state = VBState(e=e, t=t, **p)
+        # place with the exact shardings the jitted step emits, so the first
+        # step call doesn't trigger a second (input-sharding) compilation
+        from jax.sharding import NamedSharding
+        shardings = jax.tree.map(lambda spec: NamedSharding(self.mesh, spec),
+                                 _state_specs())
+        return jax.device_put(state, shardings)
 
     def predict_test_scores(self, state: VBState) -> np.ndarray:
         s = self._scores((state.mu_0, state.mu_w, state.mu_v),
@@ -379,39 +498,44 @@ class VBLearner:
         return np.asarray(s)[: self.test_n]
 
     def run(self, state: Optional[VBState] = None, num_iter: Optional[int] = None,
-            verbose: bool = True):
+            verbose: bool = True, chunk: Optional[int] = None):
+        """Train for ``num_iter`` sweeps; per-iteration test metrics are
+        computed on-device inside fused multi-iteration programs (``chunk``
+        sweeps per XLA invocation; default: whole run if <= 25, else 10)."""
         cfg = self.cfg
         if state is None:
             state = self.init_state()
         num_iter = num_iter if num_iter is not None else cfg.num_iter
+        if chunk is None:
+            chunk = num_iter if num_iter <= 25 else 10
         rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir, self.write_files)
         fe_file = TrajectoryFile("free_energy", cfg, self.method, self.out_dir, self.write_files)
         history = []
-        for it in range(num_iter):
-            state, fe = self._step(state, self.train_row, self.plan_data)
-            fe = float(fe)
-            fe_file.append(-fe)
-            scores = self.predict_test_scores(state)
-            rec = {"iter": it, "free_energy": fe}
-            if cfg.task == TASK_REGRESSION:
-                rmse, mae = evaluate_regression(
-                    scores, self.test_target_np, cfg.min_target, cfg.max_target)
-                rmse_file.append(rmse)
-                rec.update(rmse=rmse, mae=mae)
-                if verbose:
-                    e_np = np.asarray(state.e)[: self.train_n]
-                    train_rmse = float(np.sqrt(np.mean(
-                        np.clip(e_np, cfg.min_target, cfg.max_target) ** 2)))
-                    print(f"#Iter={it:3d}\tTrain={train_rmse:.6g}\tTest={rmse:.6g}")
-            else:
-                prob = np.asarray(ref_cdf_gaussian(jnp.asarray(scores)))
-                acc, ll = evaluate_classification(prob, self.test_target_np)
-                rmse_file.append(acc)
-                rec.update(accuracy=acc, loglik=ll)
-                if verbose:
-                    print(f"#Iter={it:3d}\tTest={acc:.6g}\tTest(ll)={ll:.6g}")
-                state = self._resample_class_targets(state)
-            history.append(rec)
+        it = 0
+        done = 0
+        while done < num_iter:
+            n = min(chunk, num_iter - done)
+            fn = self._fused_steps(n)
+            state, metrics = fn(state, self.train_row, self.plan_data,
+                                self.test_row)
+            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            for j in range(n):
+                rec = {"iter": it}
+                rec.update({k: float(v[j]) for k, v in metrics.items()})
+                fe_file.append(-rec["free_energy"])
+                if cfg.task == TASK_REGRESSION:
+                    rmse_file.append(rec["rmse"])
+                    if verbose:
+                        print(f"#Iter={it:3d}\tTrain={rec['train_rmse']:.6g}"
+                              f"\tTest={rec['rmse']:.6g}")
+                else:
+                    rmse_file.append(rec["accuracy"])
+                    if verbose:
+                        print(f"#Iter={it:3d}\tTest={rec['accuracy']:.6g}"
+                              f"\tTest(ll)={rec['loglik']:.6g}")
+                history.append(rec)
+                it += 1
+            done += n
         return state, history
 
     def _resample_class_targets(self, state: VBState) -> VBState:

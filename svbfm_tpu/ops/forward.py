@@ -24,10 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-
-def _gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
-    """table [D_any] or [K, D_any]; ids [N, P] -> [N, P] or [K, N, P]."""
-    return jnp.take(table, ids, axis=-1)
+from svbfm_tpu.ops.segment import take_cols as _gather_rows
 
 
 def fm_scores_and_sums(w0, w, v, ids, vals, k0: bool = True, k1: bool = True):
@@ -66,7 +63,7 @@ def fm_scores(w0, w, v, ids, vals, k0: bool = True, k1: bool = True,
         chunk = K  # keep shapes static; fall back to single chunk
 
     def blk(v_blk):
-        vg = jnp.take(v_blk, ids, axis=-1)  # [chunk, N, P]
+        vg = _gather_rows(v_blk, ids)  # [chunk, N, P]
         d = vg * vals[None]
         s = d.sum(-1)
         s2 = (d * d).sum(-1)
@@ -100,8 +97,8 @@ def fm_t_terms(sigma_0_dash, sigma_w_dash, mu_v_dash, sigma_v_dash, ids, vals,
         chunk = K
 
     def blk(m_blk, s_blk):
-        mg = jnp.take(m_blk, ids, axis=-1)  # [chunk, N, P]
-        sg = jnp.take(s_blk, ids, axis=-1)
+        mg = _gather_rows(m_blk, ids)  # [chunk, N, P]
+        sg = _gather_rows(s_blk, ids)
         mx = mg * vals[None]
         q2 = (mx * mx).sum(-1)  # [chunk, N] sum (m x)^2
         z = (sg * x2[None]).sum(-1)  # sum s x^2

@@ -34,3 +34,28 @@ def sorted_segment_sum_cumsum(data: jax.Array, ptr: jax.Array) -> jax.Array:
     c = jnp.cumsum(data)
     c = jnp.concatenate([jnp.zeros((1,), data.dtype), c])
     return c[ptr[1:]] - c[ptr[:-1]]
+
+
+def take_rows(table, idx, mode: str = "clip"):
+    """Row-gather with FLATTENED indices.
+
+    XLA:TPU lowers gathers with multi-dimensional start-index arrays ~100x
+    slower than rank-1 index vectors (measured 1.1 s vs 12 ms for 1M
+    indices).  Every gather in the framework goes through here: flatten the
+    index array, gather, reshape back.
+
+    table: [R] or [R, W]; idx: any int shape -> returns idx.shape (+ [W]).
+    """
+    import jax.numpy as jnp
+
+    flat = jnp.take(table, idx.reshape(-1), axis=0, mode=mode)
+    return flat.reshape(idx.shape + table.shape[1:])
+
+
+def take_cols(table, idx, mode: str = "clip"):
+    """Like take_rows but gathers along the LAST axis of [..., R] tables
+    (used for [K, D]-shaped parameter tables indexed by feature id)."""
+    import jax.numpy as jnp
+
+    flat = jnp.take(table, idx.reshape(-1), axis=-1, mode=mode)
+    return flat.reshape(table.shape[:-1] + idx.shape)

@@ -13,7 +13,8 @@ from svbfm_tpu.parallel.mesh import make_mesh
 from oracle import VBOracle
 
 
-def _setup(num_rows=96, num_users=9, num_items=7, K=3, n_dev=1, seed=2):
+def _setup(num_rows=96, num_users=9, num_items=7, K=3, n_dev=1, seed=2,
+           **cfg_kw):
     coo = make_movielens_like(num_users=num_users, num_items=num_items,
                               num_ratings=num_rows, rank=2, noise=0.4, seed=seed)
     tr, te = train_test_split(coo, 0.25, seed=seed + 1)
@@ -21,7 +22,7 @@ def _setup(num_rows=96, num_users=9, num_items=7, K=3, n_dev=1, seed=2):
     meta = DataMetaInfo.from_field_offsets(D, [0, num_users])
     cfg = FMConfig(num_attributes=D, num_factor=K, task=0,
                    min_target=float(tr.target.min()), max_target=float(tr.target.max()),
-                   num_groups=meta.num_attr_groups, seed=7)
+                   num_groups=meta.num_attr_groups, seed=7, **cfg_kw)
     mesh = make_mesh(n_dev)
     tr_ds = SparseDataset.from_coo(tr, D)
     te_ds = SparseDataset.from_coo(te, D)
@@ -40,7 +41,8 @@ def _oracle_from_state(tr, cfg, meta, state: VBState):
 
 @pytest.mark.parametrize("n_dev", [1, 4])
 def test_vb_matches_serial_oracle(n_dev):
-    coo, tr, te, cfg, learner, meta = _setup(n_dev=n_dev)
+    # factor_block=1 == reference-exact factor-sequential Gauss-Seidel
+    coo, tr, te, cfg, learner, meta = _setup(n_dev=n_dev, factor_block=1)
     state = learner.init_state()
     orc = _oracle_from_state(tr, cfg, meta, state)
 
