@@ -267,6 +267,7 @@ class SweepPlan:
         n_shards: int = 1,
         col_count: Optional[np.ndarray] = None,
         lane_pad: int = 8,
+        n_rows_total: Optional[int] = None,
     ) -> "SweepPlan":
         D = num_features
         conflict_free = True
@@ -294,7 +295,7 @@ class SweepPlan:
         num_bins = int(color.max()) + 1 if D else 1
         groups = meta_groups if meta_groups is not None else np.zeros(D, np.int32)
 
-        N_pad = _ceil_to(max(coo.num_rows, 1), n_shards)
+        N_pad = _ceil_to(max(n_rows_total or coo.num_rows, 1), n_shards)
         rows_per_shard = N_pad // n_shards
         shard_of = (coo.row // rows_per_shard).astype(np.int64)
         local_row = (coo.row % rows_per_shard).astype(np.int32)

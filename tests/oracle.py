@@ -248,3 +248,159 @@ class ALSOracle:
                                self.v, self.row, self.col, self.val, self.N)
         self.e = yhat - self.y
         return self.e
+
+
+class OVBOracle:
+    """Online VBFM (natural-gradient chunked updates), serial float64.
+
+    Mirrors fm_learn_vb_online.h's *code* semantics: per-chunk e/T rebuild,
+    natural-parameter interpolation with per-coordinate Robbins-Monro rates
+    (t0+t)^-0.5, col_count full-data scaling, exponentially smoothed
+    hyperparameters, early-abort on bad alpha.
+    """
+
+    def __init__(self, row, col, val, y, D, K, col_count, n_full,
+                 groups=None, k0=True, k1=True):
+        self.N = len(y)
+        self.D, self.K = D, K
+        self.k0, self.k1 = k0, k1
+        self.row, self.col, self.val = row, col, val.astype(np.float64)
+        self.y = y.astype(np.float64)
+        self.groups = groups if groups is not None else np.zeros(D, dtype=np.int32)
+        self.G = int(self.groups.max()) + 1
+        self.gcount = np.bincount(self.groups, minlength=self.G).astype(np.float64)
+        self.col_count = col_count.astype(np.float64)
+        self.n_full = float(n_full)
+
+    def init(self, mu_0, sigma_0_dash, mu_w, sigma_w_dash, mu_v, sigma_v_dash):
+        self.mu_0 = float(mu_0)
+        self.sigma_0_dash = float(sigma_0_dash)
+        self.mu_w = mu_w.astype(np.float64).copy()
+        self.sigma_w_dash = sigma_w_dash.astype(np.float64).copy()
+        self.mu_v = mu_v.astype(np.float64).copy()
+        self.sigma_v_dash = sigma_v_dash.astype(np.float64).copy()
+        self.n_mu_0 = self.mu_0 / 0.02
+        self.n_sig_0 = 1.0 / self.sigma_0_dash
+        self.n_mu_w = self.mu_w / 0.02
+        self.n_sig_w = 1.0 / self.sigma_w_dash
+        self.n_mu_v = self.mu_v / 0.02
+        self.n_sig_v = 1.0 / self.sigma_v_dash
+        self.alpha = 1.0
+        self.sigma_0 = 1.0
+        self.sigma_w = np.ones(self.G)
+        self.sigma_v = np.ones((self.G, self.K))
+        self.t_w0 = 0.0
+        self.t_wj = np.zeros(self.D)
+        self.t_vj = np.zeros(self.D)
+
+    def chunk_update(self, rows_idx):
+        """Process the chunk consisting of global row ids rows_idx."""
+        sel = np.isin(self.row, rows_idx)
+        remap = -np.ones(self.N, dtype=np.int64)
+        remap[rows_idx] = np.arange(len(rows_idx))
+        r = remap[self.row[sel]]
+        c = self.col[sel]
+        x = self.val[sel]
+        yb = self.y[rows_idx]
+        nb = len(rows_idx)
+        rho0 = (1.0 + self.t_w0) ** -0.5
+
+        yhat = fm_scores_dense(self.mu_0 if self.k0 else 0.0,
+                               self.mu_w if self.k1 else np.zeros(self.D),
+                               self.mu_v, r, c, x, nb)
+        e = yb - yhat
+        t = t_terms_dense(self.sigma_0_dash if self.k0 else 0.0,
+                          self.sigma_w_dash if self.k1 else np.zeros(self.D),
+                          self.mu_v, self.sigma_v_dash, r, c, x, nb)
+        cols_chunk = SparseCols(r.astype(np.int64), c, x, nb, self.D)
+
+        if self.k0:
+            mu_old, sig_old = self.mu_0, self.sigma_0_dash
+            w0_temp = np.mean(e) + self.mu_0
+            self.n_sig_0 = (1 - rho0) * self.n_sig_0 + rho0 * (
+                self.sigma_0 + self.n_full * self.alpha)
+            self.n_mu_0 = (1 - rho0) * self.n_mu_0 + rho0 * (
+                self.n_full * self.alpha * w0_temp)
+            self.mu_0 = self.n_mu_0 / self.n_sig_0
+            self.sigma_0_dash = 1.0 / self.n_sig_0
+            e += mu_old - self.mu_0
+            t += self.sigma_0_dash - sig_old
+
+        if self.k1:
+            for i in range(self.D):
+                ri, xi = cols_chunk.col(i)
+                if len(ri) == 0:
+                    continue
+                g = self.groups[i]
+                rho = (1.0 + self.t_wj[i]) ** -0.5
+                mu_old, sig_old = self.mu_w[i], self.sigma_w_dash[i]
+                mean1 = np.mean(xi * (e[ri] + xi * mu_old))
+                msx2 = np.mean(xi * xi)
+                self.n_sig_w[i] = (1 - rho) * self.n_sig_w[i] + rho * (
+                    self.sigma_w[g] + self.alpha * self.col_count[i] * msx2)
+                self.n_mu_w[i] = (1 - rho) * self.n_mu_w[i] + rho * (
+                    self.col_count[i] * self.alpha * mean1)
+                self.t_wj[i] += len(ri)
+                self.mu_w[i] = self.n_mu_w[i] / self.n_sig_w[i]
+                self.sigma_w_dash[i] = 1.0 / self.n_sig_w[i]
+                e[ri] += xi * (mu_old - self.mu_w[i])
+                t[ri] += xi * xi * (self.sigma_w_dash[i] - sig_old)
+
+        rho_v = (1.0 + self.t_vj) ** -0.5
+        for f in range(self.K):
+            q = np.zeros(nb)
+            tq = np.zeros(nb)
+            tz = np.zeros(nb)
+            np.add.at(q, r, self.mu_v[f, c] * x)
+            np.add.at(tq, r, self.sigma_v_dash[f, c] * x * x)
+            np.add.at(tz, r, self.mu_v[f, c] ** 2 * x * x)
+            for i in range(self.D):
+                ri, xi = cols_chunk.col(i)
+                if len(ri) == 0:
+                    continue
+                g = self.groups[i]
+                mu_old, sig_old = self.mu_v[f, i], self.sigma_v_dash[f, i]
+                h = q[ri] - xi * mu_old
+                h1 = tq[ri] - xi * xi * sig_old
+                v_mean = np.mean(xi * h * (e[ri] + xi * mu_old * h))
+                v_sig = np.mean(xi * xi * h * h + xi * xi * h1)
+                self.n_sig_v[f, i] = (1 - rho_v[i]) * self.n_sig_v[f, i] + \
+                    rho_v[i] * (self.sigma_v[g, f]
+                                + self.alpha * self.col_count[i] * v_sig)
+                self.n_mu_v[f, i] = (1 - rho_v[i]) * self.n_mu_v[f, i] + \
+                    rho_v[i] * self.col_count[i] * self.alpha * v_mean
+                mu_n = self.n_mu_v[f, i] / self.n_sig_v[f, i]
+                sig_n = 1.0 / self.n_sig_v[f, i]
+                he = xi * (q[ri] - xi * mu_old)
+                h1e = xi * xi * (tq[ri] - xi * xi * sig_old)
+                h2e = xi * xi * (tz[ri] - xi * xi * mu_old * mu_old)
+                q[ri] += xi * (mu_n - mu_old)
+                tq[ri] += xi * xi * (sig_n - sig_old)
+                tz[ri] += xi * xi * (mu_n * mu_n - mu_old * mu_old)
+                e[ri] -= he * (mu_n - mu_old)
+                t[ri] += (h1e + h2e) * (sig_n - sig_old) + \
+                    h1e * (mu_n * mu_n - mu_old * mu_old)
+                self.mu_v[f, i] = mu_n
+                self.sigma_v_dash[f, i] = sig_n
+        for i in range(self.D):
+            ri, _ = cols_chunk.col(i)
+            self.t_vj[i] += len(ri)
+
+        # hypers (smoothed with rho0; early-abort semantics on bad alpha)
+        alpha_temp = np.sum(e * e + t)
+        alpha_cand = (1 - rho0) * self.alpha + rho0 * (nb / alpha_temp)
+        if not np.isfinite(alpha_cand):
+            return e, t
+        self.alpha = alpha_cand
+        self.sigma_0 = (1 - rho0) * self.sigma_0 + rho0 * (
+            1.0 / (self.mu_0 ** 2 + self.sigma_0_dash))
+        for g in range(self.G):
+            m = self.groups == g
+            self.sigma_w[g] = (1 - rho0) * self.sigma_w[g] + rho0 * (
+                self.gcount[g] / np.sum(self.mu_w[m] ** 2 + self.sigma_w_dash[m]))
+            for f in range(self.K):
+                self.sigma_v[g, f] = (1 - rho0) * self.sigma_v[g, f] + rho0 * (
+                    self.gcount[g] / np.sum(self.mu_v[f, m] ** 2
+                                            + self.sigma_v_dash[f, m]))
+        self.t_w0 += 1.0
+        return e, t

@@ -1,0 +1,84 @@
+import numpy as np
+import pytest
+
+from svbfm_tpu.data.dataset import SparseDataset
+from svbfm_tpu.data.meta import DataMetaInfo
+from svbfm_tpu.data.synth import make_movielens_like, train_test_split
+from svbfm_tpu.learners.base import FMConfig
+from svbfm_tpu.learners.vb_online import OVBLearner
+from svbfm_tpu.parallel.mesh import make_mesh
+
+from oracle import OVBOracle
+
+
+def _setup(num_rows=120, num_users=9, num_items=7, K=3, n_dev=1, seed=2,
+           num_batches=3, **cfg_kw):
+    coo = make_movielens_like(num_users=num_users, num_items=num_items,
+                              num_ratings=num_rows, rank=2, noise=0.4, seed=seed)
+    tr, te = train_test_split(coo, 0.25, seed=seed + 1)
+    D = coo.num_features
+    meta = DataMetaInfo.from_field_offsets(D, [0, num_users])
+    cfg = FMConfig(num_attributes=D, num_factor=K, task=0,
+                   min_target=float(tr.target.min()), max_target=float(tr.target.max()),
+                   num_groups=meta.num_attr_groups, seed=7,
+                   num_batches=num_batches, **cfg_kw)
+    mesh = make_mesh(n_dev)
+    tr_ds = SparseDataset.from_coo(tr, D)
+    te_ds = SparseDataset.from_coo(te, D)
+    learner = OVBLearner(cfg, tr_ds, te_ds, meta, mesh=mesh, write_files=False)
+    return tr, te, cfg, meta, learner
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_ovb_matches_serial_oracle(n_dev):
+    tr, te, cfg, meta, learner = _setup(n_dev=n_dev, factor_block=1)
+    state = learner.init_state()
+
+    orc = OVBOracle(tr.row, tr.col, tr.val, tr.target, cfg.num_attributes,
+                    cfg.num_factor, learner.col_count, tr.num_rows,
+                    groups=meta.attr_group)
+    orc.init(float(state.mu_0), float(state.sigma_0_dash),
+             np.asarray(state.mu_w), np.asarray(state.sigma_w_dash),
+             np.asarray(state.mu_v), np.asarray(state.sigma_v_dash))
+
+    # replicate the learner's fixed chunk membership + first epoch order
+    rng = np.random.default_rng(cfg.seed)
+    perm = rng.permutation(tr.num_rows)
+    chunk_rows = np.array_split(perm, learner.num_chunks)
+    order_rng = np.random.default_rng(cfg.seed + 1)
+
+    for epoch in range(2):
+        order = order_rng.permutation(learner.num_chunks)
+        import jax.numpy as jnp
+        epoch_fn = learner._build_epoch()
+        state, fes, m1, m2 = epoch_fn(state, jnp.asarray(order.astype(np.int32)),
+                                      learner.chunk_row, learner.chunk_blocks,
+                                      learner.test_row)
+        for ci in order:
+            orc.chunk_update(chunk_rows[ci])
+        np.testing.assert_allclose(float(state.mu_0), orc.mu_0, rtol=3e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(state.mu_w), orc.mu_w, rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(state.mu_v), orc.mu_v, rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(state.sigma_w_dash), orc.sigma_w_dash,
+                                   rtol=5e-3, atol=1e-5)
+        np.testing.assert_allclose(float(state.alpha), orc.alpha, rtol=5e-3)
+        np.testing.assert_allclose(np.asarray(state.t_wj), orc.t_wj)
+        np.testing.assert_allclose(np.asarray(state.t_vj), orc.t_vj)
+
+
+def test_ovb_converges():
+    tr, te, cfg, meta, learner = _setup(num_rows=3000, num_users=30,
+                                        num_items=25, K=4, num_batches=5)
+    state, history = learner.run(num_iter=12, verbose=False)
+    assert history[-1]["rmse"] < history[0]["rmse"]
+    assert history[-1]["rmse"] < 1.0
+
+
+def test_ovb_sharding_invariance():
+    tr, te, cfg, meta, l1 = _setup(num_rows=256, n_dev=1, seed=5)
+    *_x, l8 = _setup(num_rows=256, n_dev=8, seed=5)
+    s1, h1 = l1.run(num_iter=3, verbose=False)
+    s8, h8 = l8.run(num_iter=3, verbose=False)
+    np.testing.assert_allclose(h1[-1]["rmse"], h8[-1]["rmse"], rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(s1.mu_v), np.asarray(s8.mu_v),
+                               rtol=3e-3, atol=3e-4)
