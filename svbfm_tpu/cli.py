@@ -1,0 +1,298 @@
+"""libFM-compatible command-line driver.
+
+Flag-surface parity with the reference CLI (``src/libfm/libfm.cpp:84-114``),
+dispatching to the TPU-native learners:
+
+    python -m svbfm_tpu.cli -task r -train tr.libfm -test te.libfm \
+        -dim '1,1,20' -method vb -iter 100
+
+Preserved semantics (``libfm.cpp``):
+  - ``-method als`` is rewritten to mcmc with do_sampling=0, do_multilevel=0
+    (``:131-135``)
+  - ``-task c`` binarizes targets to +-1 (``:337-350``)
+  - ``-regular`` accepts 0, 1, 3, or 1+2*num_groups values (``:367-427``)
+  - ``-learn_rate`` accepts 1 or 3 values (``:428-484``)
+  - mcmc/vb/vb_online re-draw w ~ N(0, init_stdev) (``:298,307,313``)
+  - per-iteration trajectory files ``test_rmse_<k0><k1><K>_<method>`` (and
+    ``free_energy_*`` for the VB methods) are written to CWD
+  - ``-rlog`` writes a TSV with a declared schema
+  - ``-seed`` is honored (the reference registers it but seeds from
+    time(NULL), ``libfm.cpp:123`` — deliberate fix)
+  - ``-out`` writes final test predictions, one per line (works for every
+    method here; the reference's VB predict is stubbed,
+    ``fm_learn_vb.h:321-348``)
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional
+
+import numpy as np
+
+METHODS = ("sgd", "sgda", "sgd_online", "als", "mcmc", "vb", "vb_online",
+           "exp_sgd", "exp_sgd_stoc")
+
+HELP = """svbfm — TPU-native libFM-compatible factorization machines
+Flags (libFM-compatible; -name value):
+  -task        r=regression, c=binary classification [MANDATORY]
+  -train       filename for training data [MANDATORY]
+  -test        filename for test data [MANDATORY]
+  -validation  filename for validation data (only for SGDA)
+  -meta        filename with one group id per attribute line
+  -out         filename for final test predictions
+  -dim         'k0,k1,k2': bias,1-way,2-way dim; default=1,1,8
+  -regular     'r0,r1,r2' (or 1 or 1+2*groups values)
+  -init_stdev  stdev for init of 2-way factors; default=0.1
+  -stdev       model stdev (exp-SGD); default=1
+  -iter        number of iterations; default=100
+  -learn_rate  SGD learn rate (1 or 3 values); default=0.1
+  -method      sgd|sgda|sgd_online|als|mcmc|vb|vb_online|exp_sgd|exp_sgd_stoc
+  -batch       number of chunks for the online methods; default=50
+  -verbosity   how much to print; default=0
+  -rlog        TSV metrics file
+  -seed        RNG seed (honored, unlike the reference)
+  -relation    BS relation file prefixes (comma separated)
+  -cache_size  accepted for compatibility (data is HBM-resident)
+  -bins        column-bin mode: auto|fields|greedy|jacobi (extension)
+  -factor_block  factors per sweep block; 0=all (fast), 1=reference-exact
+  -help        this screen
+"""
+
+
+class CmdLine:
+    """`-name value` parser with duplicate detection and unknown-flag
+    rejection (reference ``src/util/cmdline.h:29-197``)."""
+
+    def __init__(self, argv: list[str]):
+        self.args: dict[str, str] = {}
+        i = 0
+        while i < len(argv):
+            tok = argv[i]
+            if not tok.startswith("-") or _is_number(tok):
+                raise SystemExit(f"expected parameter, found '{tok}'")
+            name = tok.lstrip("-")
+            if name in self.args:
+                raise SystemExit(f"the parameter '{name}' is specified twice")
+            if i + 1 < len(argv) and (not argv[i + 1].startswith("-")
+                                      or _is_number(argv[i + 1])):
+                self.args[name] = argv[i + 1]
+                i += 2
+            else:
+                self.args[name] = ""
+                i += 1
+
+    def check(self, known: set[str]) -> None:
+        for k in self.args:
+            if k not in known:
+                raise SystemExit(f"unknown parameter '{k}'")
+
+    def has(self, name: str) -> bool:
+        return name in self.args
+
+    def get_str(self, name: str, default: str = "") -> str:
+        return self.args.get(name, default)
+
+    def get_int(self, name: str, default: int = 0) -> int:
+        v = self.args.get(name, "")
+        return int(v) if v else default
+
+    def get_float(self, name: str, default: float = 0.0) -> float:
+        v = self.args.get(name, "")
+        return float(v) if v else default
+
+    def get_list(self, name: str) -> list[float]:
+        v = self.args.get(name, "")
+        if not v:
+            return []
+        return [float(x) for x in v.replace(";", ",").split(",") if x != ""]
+
+
+def _is_number(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+KNOWN = {"task", "meta", "train", "test", "validation", "out", "dim",
+         "regular", "init_stdev", "stdev", "iter", "learn_rate", "method",
+         "verbosity", "rlog", "seed", "help", "relation", "cache_size",
+         "batch", "do_sampling", "do_multilevel", "num_eval_cases", "bins",
+         "factor_block"}
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cmd = CmdLine(argv)
+    if cmd.has("help") or not argv:
+        print(HELP)
+        return 0
+    cmd.check(KNOWN)
+
+    from svbfm_tpu.data.dataset import SparseDataset
+    from svbfm_tpu.data.libfm_text import load_libfm_text
+    from svbfm_tpu.data.meta import DataMetaInfo
+    from svbfm_tpu.learners.base import (FMConfig, TASK_CLASSIFICATION,
+                                         TASK_REGRESSION)
+    from svbfm_tpu.utils.rlog import RLog
+
+    task_s = cmd.get_str("task")
+    if task_s not in ("r", "c", "p"):
+        raise SystemExit("unknown task (use r, c)")
+    task = {"r": TASK_REGRESSION, "c": TASK_CLASSIFICATION, "p": 2}[task_s]
+
+    method = cmd.get_str("method", "mcmc").lower()
+    if method not in METHODS:
+        raise SystemExit(f"unknown method '{method}'")
+    do_sample = cmd.get_int("do_sampling", 1) != 0
+    do_multilevel = cmd.get_int("do_multilevel", 1) != 0
+    if method == "als":  # libfm.cpp:131-135
+        method = "mcmc"
+        do_sample = False
+        do_multilevel = False
+        als = True
+    else:
+        als = False
+
+    dim = cmd.get_list("dim") or [1, 1, 8]
+    if len(dim) != 3:
+        raise SystemExit("-dim needs 3 values 'k0,k1,k2'")
+    k0, k1, K = bool(int(dim[0])), bool(int(dim[1])), int(dim[2])
+
+    train_file = cmd.get_str("train")
+    test_file = cmd.get_str("test")
+    if not train_file or not test_file:
+        raise SystemExit("-train and -test are mandatory")
+
+    verbosity = cmd.get_int("verbosity", 0)
+    train = load_libfm_text(train_file)
+    test = load_libfm_text(test_file)
+    D = max(train.num_features, test.num_features)
+
+    if task == TASK_CLASSIFICATION:  # libfm.cpp:337-350
+        train.target = np.where(train.target > 0, 1.0, -1.0).astype(np.float32)
+        test.target = np.where(test.target > 0, 1.0, -1.0).astype(np.float32)
+        min_t, max_t = -1.0, 1.0
+    else:
+        min_t = float(train.target.min())
+        max_t = float(train.target.max())
+
+    meta = DataMetaInfo(D)
+    if cmd.has("meta"):
+        meta.load_groups_from_file(cmd.get_str("meta"))
+    G = meta.num_attr_groups
+
+    # -regular parsing (libfm.cpp:367-427)
+    reg = cmd.get_list("regular")
+    reg0 = regw = regv = 0.0
+    w_lambda = v_lambda = None
+    if len(reg) == 0:
+        pass
+    elif len(reg) == 1:
+        reg0 = regw = regv = reg[0]
+    elif len(reg) == 3:
+        reg0, regw, regv = reg
+    elif len(reg) == 1 + 2 * G:
+        reg0 = reg[0]
+        w_lambda = np.asarray(reg[1:1 + G], np.float32)
+        v_lambda = np.tile(np.asarray(reg[1 + G:], np.float32)[:, None], (1, K))
+    else:
+        raise SystemExit("-regular takes 0, 1, 3 or 1+2*num_groups values")
+
+    lr = cmd.get_list("learn_rate") or [0.1]
+    if len(lr) not in (1, 3):
+        raise SystemExit("-learn_rate takes 1 or 3 values")
+    learn_rate = lr[0]
+
+    cfg = FMConfig(
+        num_attributes=D, num_factor=K, k0=k0, k1=k1, task=task,
+        min_target=min_t, max_target=max_t, num_groups=G,
+        num_iter=cmd.get_int("iter", 100), seed=cmd.get_int("seed", 0),
+        init_stdev=cmd.get_float("init_stdev", 0.1),
+        learn_rate=learn_rate, reg0=reg0, regw=regw, regv=regv,
+        do_sample=do_sample, do_multilevel=do_multilevel,
+        num_batches=cmd.get_int("batch", 50),
+        stdev=cmd.get_float("stdev", 1.0),
+        factor_block=cmd.get_int("factor_block", 0),
+    )
+    bins = cmd.get_str("bins", "auto")
+    verbose = True
+
+    tr_ds = SparseDataset.from_coo(train, D)
+    te_ds = SparseDataset.from_coo(test, D)
+
+    rlog = RLog(cmd.get_str("rlog") or None)
+
+    if method == "mcmc":
+        from svbfm_tpu.learners.mcmc import ALSLearner, MCMCLearner
+        cls = ALSLearner if als else MCMCLearner
+        learner = cls(cfg, tr_ds, te_ds, meta, bins=bins,
+                      w_lambda_init=w_lambda, v_lambda_init=v_lambda)
+    elif method == "vb":
+        from svbfm_tpu.learners.vb import VBLearner
+        learner = VBLearner(cfg, tr_ds, te_ds, meta, bins=bins)
+    elif method == "vb_online":
+        from svbfm_tpu.learners.vb_online import OVBLearner
+        learner = OVBLearner(cfg, tr_ds, te_ds, meta, bins=bins)
+    elif method == "sgd":
+        from svbfm_tpu.learners.sgd import SGDLearner
+        learner = SGDLearner(cfg, tr_ds, te_ds, meta)
+    elif method == "sgd_online":
+        from svbfm_tpu.learners.sgd import SGDOnlineLearner
+        learner = SGDOnlineLearner(cfg, tr_ds, te_ds, meta)
+    elif method == "sgda":
+        from svbfm_tpu.learners.sgd import SGDALearner
+        val_file = cmd.get_str("validation")
+        if not val_file:
+            raise SystemExit("-validation is mandatory for SGDA")
+        val = load_libfm_text(val_file)
+        if task == TASK_CLASSIFICATION:
+            val.target = np.where(val.target > 0, 1.0, -1.0).astype(np.float32)
+        learner = SGDALearner(cfg, tr_ds, te_ds,
+                              SparseDataset.from_coo(val, D), meta)
+    elif method in ("exp_sgd", "exp_sgd_stoc"):
+        from svbfm_tpu.learners.exp_sgd import ExpSGDLearner, ExpSGDStocLearner
+        cls = ExpSGDLearner if method == "exp_sgd" else ExpSGDStocLearner
+        learner = cls(cfg, tr_ds, te_ds, meta)
+    else:  # pragma: no cover
+        raise SystemExit(f"method '{method}' not wired")
+
+    # RLog schema (fm_learn.h:80-101 flavor)
+    rlog.add_field("rmse")
+    rlog.add_field("mae")
+    rlog.add_field("accuracy")
+    rlog.add_field("free_energy")
+    rlog.add_field("alpha")
+    rlog.init()
+
+    state, history = learner.run(num_iter=cfg.num_iter, verbose=verbose)
+    for rec in history:
+        for key in ("rmse", "mae", "accuracy", "free_energy", "alpha"):
+            if key in rec:
+                rlog.log(key, rec[key])
+        rlog.new_line()
+    rlog.close()
+
+    # final evaluation + -out predictions (libfm.cpp:508-519)
+    scores = learner.predict_test_scores(state)
+    if task == TASK_REGRESSION:
+        p = np.clip(scores, min_t, max_t)
+        rmse = float(np.sqrt(np.mean((p - test.target) ** 2)))
+        print(f"Final\tTest={rmse:.6g}")
+        out_vals = p
+    else:
+        prob = 1.0 / (1.0 + np.exp(-np.asarray(scores, np.float64)))
+        acc = float(np.mean((scores >= 0) == (test.target > 0)))
+        print(f"Final\tTest={acc:.6g}")
+        out_vals = prob
+    if cmd.has("out"):
+        with open(cmd.get_str("out"), "w") as f:
+            for v in out_vals:
+                f.write(f"{float(v):g}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

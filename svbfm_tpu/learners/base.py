@@ -55,6 +55,9 @@ class FMConfig:
     # factor-sequential Gauss-Seidel; 0 = all K at once (fast: index passes
     # per sweep drop from O(K) to O(1), the TPU bottleneck).
     factor_block: int = 0
+    # exponential-family multipliers for stochastic SGD (exp_sgd_stoc,
+    # exp_fm_learn_sgd_stoc_element.h:29-43)
+    exp_family: bool = False
     batch_size: int = 0  # SGD minibatch size; 0 = full vectorized "per-example" epoch
     stdev: float = 1.0  # exp-SGD residual scale (-stdev flag)
 

@@ -493,9 +493,11 @@ class MCMCLearner:
 
 
 class ALSLearner(MCMCLearner):
-    """ALS = MCMC with do_sample=False, do_multilevel=False (libfm.cpp:131-135)."""
+    """ALS = MCMC with do_sample=False, do_multilevel=False (libfm.cpp:131-135).
+    Trajectory files keep the '_mcmc' suffix because the reference rewrites
+    the method string before dispatch."""
 
-    method = "als"
+    method = "mcmc"
 
     def __init__(self, cfg: FMConfig, *args, **kwargs):
         import dataclasses

@@ -86,13 +86,17 @@ def _psum(x):
 
 def _multiplier(p, y, cfg: FMConfig, scale: float = 1.0):
     """Loss multiplier (fm_learn_sgd_element.h:79-85; adapt_reg uses
-    2*(p-y), i.e. scale=2 with the same sign)."""
+    2*(p-y), i.e. scale=2 with the same sign; exp_family variants per
+    exp_fm_learn_sgd_stoc_element.h:29-43)."""
     if cfg.task == TASK_REGRESSION:
+        if cfg.exp_family:  # -(y - (1/stdev) p), no clamping
+            return scale * (p / cfg.stdev - y)
         p = jnp.clip(p, cfg.min_target, cfg.max_target)
         return scale * (p - y)
     elif cfg.task == TASK_CLASSIFICATION:
         return scale * y * (jax.nn.sigmoid(y * p) - 1.0)
-    else:  # Poisson-ish task "p" (exp_fm_learn_sgd_stoc_element.h:39-43)
+    else:  # Poisson-ish task "p": -(y - exp(clamp(p)))
+        p = jnp.clip(p, cfg.min_target, cfg.max_target)
         return scale * (jnp.exp(p) - y)
 
 

@@ -1,0 +1,84 @@
+import os
+
+import numpy as np
+import pytest
+
+from svbfm_tpu.data.libfm_text import save_libfm_text
+from svbfm_tpu.data.synth import make_movielens_like, train_test_split
+
+
+@pytest.fixture(scope="module")
+def data_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    coo = make_movielens_like(num_users=20, num_items=15, num_ratings=1500,
+                              rank=2, noise=0.4, seed=11)
+    tr, te = train_test_split(coo, 0.2, seed=12)
+    trf, tef = str(d / "tr.libfm"), str(d / "te.libfm")
+    save_libfm_text(trf, tr)
+    save_libfm_text(tef, te)
+    groups = np.zeros(coo.num_features, np.int64)
+    groups[20:] = 1
+    gf = str(d / "groups.txt")
+    np.savetxt(gf, groups, fmt="%d")
+    return d, trf, tef, gf
+
+
+def _run_cli(args, cwd):
+    from svbfm_tpu.cli import main
+    old = os.getcwd()
+    os.chdir(cwd)
+    try:
+        return main(args)
+    finally:
+        os.chdir(old)
+
+
+@pytest.mark.parametrize("method", ["vb", "sgd", "als", "mcmc", "vb_online",
+                                    "exp_sgd", "exp_sgd_stoc"])
+def test_cli_methods_run(data_files, tmp_path, method):
+    d, trf, tef, gf = data_files
+    rc = _run_cli(["-task", "r", "-train", trf, "-test", tef,
+                   "-dim", "1,1,4", "-method", method, "-iter", "3",
+                   "-meta", gf, "-seed", "3", "-batch", "3",
+                   "-learn_rate", "0.05", "-regular", "0.01"],
+                  str(tmp_path))
+    assert rc == 0
+    suffix = "mcmc" if method == "als" else method
+    traj = tmp_path / f"test_rmse_114_{suffix}"
+    assert traj.exists()
+    vals = [float(x) for x in traj.read_text().split()]
+    assert len(vals) == 3
+    assert all(np.isfinite(vals))
+
+
+def test_cli_sgda_and_out(data_files, tmp_path):
+    d, trf, tef, gf = data_files
+    out = str(tmp_path / "pred.txt")
+    rc = _run_cli(["-task", "r", "-train", trf, "-test", tef,
+                   "-validation", tef, "-dim", "1,1,4", "-method", "sgda",
+                   "-iter", "3", "-learn_rate", "0.02", "-out", out,
+                   "-rlog", str(tmp_path / "rlog.tsv")],
+                  str(tmp_path))
+    assert rc == 0
+    preds = np.loadtxt(out)
+    assert np.isfinite(preds).all()
+    rlog = (tmp_path / "rlog.tsv").read_text().splitlines()
+    assert rlog[0].split("\t")[0] == "rmse"
+    assert len(rlog) == 4  # header + 3 iterations
+
+
+def test_cli_classification(data_files, tmp_path):
+    d, trf, tef, gf = data_files
+    rc = _run_cli(["-task", "c", "-train", trf, "-test", tef,
+                   "-dim", "1,1,4", "-method", "vb", "-iter", "2"],
+                  str(tmp_path))
+    assert rc == 0
+
+
+def test_cli_help_and_errors(tmp_path):
+    from svbfm_tpu.cli import main
+    assert main(["-help"]) == 0
+    with pytest.raises(SystemExit):
+        main(["-task", "r", "-bogus", "1", "-train", "x", "-test", "y"])
+    with pytest.raises(SystemExit):
+        main(["-task", "z", "-train", "x", "-test", "y"])
