@@ -1,0 +1,101 @@
+/* Fast libFM text-format parser (ctypes fast path for
+ * svbfm_tpu/data/libfm_text.py).
+ *
+ * Behavior mirrors the reference two-pass loader
+ * (/root/reference/src/libfm/src/Data.h:184-278): pass 1 counts rows, nnz
+ * and the max feature id; pass 2 fills flat arrays.  Line rules: leading
+ * spaces/tabs skipped; empty lines and lines starting with '#' skipped; a
+ * line is "<target> <id>:<value> ..." with an optional trailing comment.
+ *
+ * Exported C ABI:
+ *   int libfm_count(const char* path, long long* num_rows, long long* nnz,
+ *                   long long* max_feature);
+ *   int libfm_fill(const char* path, int* row, int* col, float* val,
+ *                  float* target);
+ * Both return 0 on success, nonzero on I/O or parse failure.
+ */
+
+#include <ctype.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define LINE_BUF (1 << 20)
+
+static const char *skip_ws(const char *p) {
+    while (*p == ' ' || *p == '\t') p++;
+    return p;
+}
+
+/* parse a float with strtod; returns end pointer or NULL */
+static const char *parse_f(const char *p, double *out) {
+    char *end;
+    double v = strtod(p, &end);
+    if (end == p) return NULL;
+    *out = v;
+    return end;
+}
+
+static const char *parse_u(const char *p, long long *out) {
+    char *end;
+    long long v = strtoll(p, &end, 10);
+    if (end == p || v < 0) return NULL;
+    *out = v;
+    return end;
+}
+
+typedef int (*emit_fn)(void *ctx, long long row, long long col, double val);
+
+static int scan_file(const char *path, long long *num_rows, long long *nnz,
+                     long long *max_feature, int *rowbuf, int *colbuf,
+                     float *valbuf, float *targetbuf) {
+    FILE *f = fopen(path, "r");
+    if (!f) return 1;
+    char *line = (char *)malloc(LINE_BUF);
+    if (!line) { fclose(f); return 2; }
+    long long rows = 0, vals = 0, maxf = -1;
+    while (fgets(line, LINE_BUF, f)) {
+        const char *p = skip_ws(line);
+        if (*p == 0 || *p == '\n' || *p == '\r' || *p == '#') continue;
+        double target;
+        const char *q = parse_f(p, &target);
+        if (!q) { free(line); fclose(f); return 3; }
+        if (targetbuf) targetbuf[rows] = (float)target;
+        p = q;
+        for (;;) {
+            p = skip_ws(p);
+            if (*p == 0 || *p == '\n' || *p == '\r' || *p == '#') break;
+            long long fid;
+            double x;
+            q = parse_u(p, &fid);
+            if (!q || *q != ':') { free(line); fclose(f); return 4; }
+            q = parse_f(q + 1, &x);
+            if (!q) { free(line); fclose(f); return 5; }
+            if (rowbuf) {
+                rowbuf[vals] = (int)rows;
+                colbuf[vals] = (int)fid;
+                valbuf[vals] = (float)x;
+            }
+            if (fid > maxf) maxf = fid;
+            vals++;
+            p = q;
+        }
+        rows++;
+    }
+    free(line);
+    fclose(f);
+    if (num_rows) *num_rows = rows;
+    if (nnz) *nnz = vals;
+    if (max_feature) *max_feature = maxf;
+    return 0;
+}
+
+int libfm_count(const char *path, long long *num_rows, long long *nnz,
+                long long *max_feature) {
+    return scan_file(path, num_rows, nnz, max_feature, NULL, NULL, NULL, NULL);
+}
+
+int libfm_fill(const char *path, int *row, int *col, float *val,
+               float *target) {
+    return scan_file(path, NULL, NULL, NULL, row, col, val, target);
+}
