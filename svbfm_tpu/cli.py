@@ -56,6 +56,8 @@ Flags (libFM-compatible; -name value):
   -cache_size  accepted for compatibility (data is HBM-resident)
   -bins        column-bin mode: auto|fields|greedy|jacobi (extension)
   -factor_block  factors per sweep block; 0=all (fast), 1=reference-exact
+  -checkpoint  directory for periodic checkpoints (resumes if present)
+  -checkpoint_every  iterations between checkpoints; default=10
   -help        this screen
 """
 
@@ -120,7 +122,7 @@ KNOWN = {"task", "meta", "train", "test", "validation", "out", "dim",
          "regular", "init_stdev", "stdev", "iter", "learn_rate", "method",
          "verbosity", "rlog", "seed", "help", "relation", "cache_size",
          "batch", "do_sampling", "do_multilevel", "num_eval_cases", "bins",
-         "factor_block"}
+         "factor_block", "checkpoint", "checkpoint_every"}
 
 
 def main(argv: Optional[list[str]] = None) -> int:
@@ -267,7 +269,17 @@ def main(argv: Optional[list[str]] = None) -> int:
     rlog.add_field("alpha")
     rlog.init()
 
-    state, history = learner.run(num_iter=cfg.num_iter, verbose=verbose)
+    run_kw = {}
+    if cmd.has("checkpoint"):
+        from svbfm_tpu.utils.checkpoint import CheckpointManager
+        run_kw["ckpt"] = CheckpointManager(cmd.get_str("checkpoint"))
+        run_kw["ckpt_every"] = cmd.get_int("checkpoint_every", 10)
+    try:
+        state, history = learner.run(num_iter=cfg.num_iter, verbose=verbose,
+                                     **run_kw)
+    except TypeError:
+        # learners without checkpoint support yet
+        state, history = learner.run(num_iter=cfg.num_iter, verbose=verbose)
     for rec in history:
         for key in ("rmse", "mae", "accuracy", "free_energy", "alpha"):
             if key in rec:

@@ -497,22 +497,42 @@ class VBLearner:
                          self.test_row.ids, self.test_row.vals)
         return np.asarray(s)[: self.test_n]
 
+    def _place(self, state: VBState) -> VBState:
+        """device_put a (possibly host/numpy) state with step shardings."""
+        from jax.sharding import NamedSharding
+        shardings = jax.tree.map(lambda spec: NamedSharding(self.mesh, spec),
+                                 _state_specs())
+        return jax.device_put(state, shardings)
+
     def run(self, state: Optional[VBState] = None, num_iter: Optional[int] = None,
-            verbose: bool = True, chunk: Optional[int] = None):
+            verbose: bool = True, chunk: Optional[int] = None,
+            ckpt=None, ckpt_every: int = 10):
         """Train for ``num_iter`` sweeps; per-iteration test metrics are
         computed on-device inside fused multi-iteration programs (``chunk``
-        sweeps per XLA invocation; default: whole run if <= 25, else 10)."""
+        sweeps per XLA invocation; default: whole run if <= 25, else 10).
+        Pass a :class:`svbfm_tpu.utils.checkpoint.CheckpointManager` as
+        ``ckpt`` to checkpoint every ``ckpt_every`` iterations and resume
+        from the latest checkpoint if one exists."""
         cfg = self.cfg
         if state is None:
             state = self.init_state()
         num_iter = num_iter if num_iter is not None else cfg.num_iter
         if chunk is None:
             chunk = num_iter if num_iter <= 25 else 10
-        rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir, self.write_files)
-        fe_file = TrajectoryFile("free_energy", cfg, self.method, self.out_dir, self.write_files)
-        history = []
         it = 0
         done = 0
+        if ckpt is not None:
+            restored = ckpt.restore_latest(state)
+            if restored is not None:
+                state, it, _meta = restored
+                state = self._place(state)
+                done = it
+        rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
+                                   self.write_files and done == 0)
+        fe_file = TrajectoryFile("free_energy", cfg, self.method, self.out_dir,
+                                 self.write_files and done == 0)
+        history = []
+        last_saved = it
         while done < num_iter:
             n = min(chunk, num_iter - done)
             fn = self._fused_steps(n)
@@ -536,6 +556,11 @@ class VBLearner:
                 history.append(rec)
                 it += 1
             done += n
+            if ckpt is not None and (it - last_saved >= ckpt_every
+                                     or done >= num_iter):
+                ckpt.save(jax.tree.map(np.asarray, state), it,
+                          {"method": self.method})
+                last_saved = it
         return state, history
 
     def _resample_class_targets(self, state: VBState) -> VBState:
