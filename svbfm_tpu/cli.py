@@ -184,6 +184,19 @@ def main(argv: Optional[list[str]] = None) -> int:
     meta = DataMetaInfo(D)
     if cmd.has("meta"):
         meta.load_groups_from_file(cmd.get_str("meta"))
+
+    # relational block structure (libfm.cpp:188-256): join expanded at load
+    if cmd.has("relation"):
+        from svbfm_tpu.data.relation import (RelationData, build_joined_meta,
+                                             join_relations, load_join)
+        prefixes = [r for r in cmd.get_str("relation").replace(";", ",").split(",") if r]
+        rels = [RelationData.load(pfx) for pfx in prefixes]
+        tr_joins = [load_join(pfx + ".train", train.num_rows) for pfx in prefixes]
+        te_joins = [load_join(pfx + ".test", test.num_rows) for pfx in prefixes]
+        meta = build_joined_meta(meta, rels)
+        train = join_relations(train, rels, tr_joins, D)
+        test = join_relations(test, rels, te_joins, D)
+        D = meta.num_attributes
     G = meta.num_attr_groups
 
     # -regular parsing (libfm.cpp:367-427)
