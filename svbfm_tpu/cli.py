@@ -58,6 +58,10 @@ Flags (libFM-compatible; -name value):
   -factor_block  factors per sweep block; 0=all (fast), 1=reference-exact
   -checkpoint  directory for periodic checkpoints (resumes if present)
   -checkpoint_every  iterations between checkpoints; default=10
+  -map_eval    implicit-feedback MAP fixture file (task c; the reference
+               hardcodes this path, fm_learn.h:124)
+  -map_item_offset  subtract from fixture item ids; default=0
+  -map_k       MAP cutoff; default=5
   -help        this screen
 """
 
@@ -122,7 +126,8 @@ KNOWN = {"task", "meta", "train", "test", "validation", "out", "dim",
          "regular", "init_stdev", "stdev", "iter", "learn_rate", "method",
          "verbosity", "rlog", "seed", "help", "relation", "cache_size",
          "batch", "do_sampling", "do_multilevel", "num_eval_cases", "bins",
-         "factor_block", "checkpoint", "checkpoint_every"}
+         "factor_block", "checkpoint", "checkpoint_every", "map_eval",
+         "map_item_offset", "map_k"}
 
 
 def main(argv: Optional[list[str]] = None) -> int:
@@ -302,6 +307,12 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     # final evaluation + -out predictions (libfm.cpp:508-519)
     scores = learner.predict_test_scores(state)
+    if cmd.has("map_eval"):
+        from svbfm_tpu.learners.base import load_map_fixture, map_at_k
+        u, i, pos = load_map_fixture(cmd.get_str("map_eval"),
+                                     cmd.get_int("map_item_offset", 0))
+        mk = cmd.get_int("map_k", 5)
+        print(f"MAP@{mk}\t{map_at_k(scores, u, i, pos, k=mk):.6g}")
     if task == TASK_REGRESSION:
         p = np.clip(scores, min_t, max_t)
         rmse = float(np.sqrt(np.mean((p - test.target) ** 2)))

@@ -220,10 +220,16 @@ def evaluate_classification(prob, target, normalizer=1.0,
 
 
 def map_at_k(pred, user_ids, item_ids, positives: dict, k: int = 5):
-    """MAP@k over per-user ranked predictions (fm_learn.h:185-240).
+    """MAP@k over per-user ranked predictions, using the reference's exact
+    (nonstandard) average-precision recurrence (fm_learn.h:203-231): on a
+    hit at 0-based rank r the AP state updates as (ap*r + 1)/(r+1) and is
+    accumulated — this differs from textbook AP when misses interleave
+    hits, and the curves were produced with it.
 
     positives: {user_id: set(item_id)} of positively-rated items.
     """
+    user_ids = np.asarray(user_ids)
+    item_ids = np.asarray(item_ids)
     order = np.argsort(user_ids, kind="stable")
     users, items, preds = user_ids[order], item_ids[order], np.asarray(pred)[order]
     ap_sum, n_users = 0.0, 0
@@ -235,16 +241,42 @@ def map_at_k(pred, user_ids, item_ids, positives: dict, k: int = 5):
         u = users[start]
         pos = positives.get(int(u), set())
         topk = np.argsort(-preds[start:end], kind="stable")[:k]
-        hits, ap = 0, 0.0
+        ap, temp = 0.0, 0.0
         for rank, idx in enumerate(topk):
             if int(items[start + idx]) in pos:
-                hits += 1
-                ap += hits / (rank + 1)
+                ap = (ap * rank + 1.0) / (rank + 1)
+                temp += ap
         if len(pos) > 0:
-            ap_sum += ap / len(pos)
+            ap_sum += temp / len(pos)
         n_users += 1
         start = end
     return ap_sum / max(n_users, 1)
+
+
+def load_map_fixture(path: str, item_offset: int = 0):
+    """Implicit-feedback MAP fixture: libFM-style lines
+    ``<rating> <user>:1 <item>:1`` aligned with the test rows
+    (the reference hardcodes this file's path and an item offset,
+    fm_learn.h:118-153; both are flags here).
+
+    Returns (user_ids [N], item_ids [N], positives {user: set(items)}).
+    """
+    users, items = [], []
+    positives: dict[int, set] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            rating = int(float(parts[0]))
+            user = int(parts[1].split(":")[0])
+            item = int(parts[2].split(":")[0]) - item_offset
+            users.append(user)
+            items.append(item)
+            if rating == 1:
+                positives.setdefault(user, set()).add(item)
+    return (np.asarray(users, np.int64), np.asarray(items, np.int64),
+            positives)
 
 
 # ---------------------------------------------------------------------------

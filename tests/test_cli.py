@@ -82,3 +82,31 @@ def test_cli_help_and_errors(tmp_path):
         main(["-task", "r", "-bogus", "1", "-train", "x", "-test", "y"])
     with pytest.raises(SystemExit):
         main(["-task", "z", "-train", "x", "-test", "y"])
+
+
+def test_map_at_k_reference_recurrence():
+    from svbfm_tpu.learners.base import map_at_k
+    # one user, items ranked [a(hit), b(miss), c(hit)]
+    pred = np.array([3.0, 2.0, 1.0])
+    users = np.array([7, 7, 7])
+    items = np.array([10, 11, 12])
+    pos = {7: {10, 12}}
+    # reference recurrence: hit@0 -> ap=1, temp=1; hit@2 -> ap=(1*2+1)/3=1,
+    # temp=2; /2 positives = 1.0 (textbook AP would give 0.8333)
+    assert abs(map_at_k(pred, users, items, pos, k=5) - 1.0) < 1e-12
+
+
+def test_cli_map_eval(data_files, tmp_path):
+    d, trf, tef, gf = data_files
+    # fixture aligned with test rows: "<rating> <user>:1 <item>:1"
+    import itertools
+    te_lines = open(tef).read().splitlines()
+    fixture = tmp_path / "map_fixture"
+    with open(fixture, "w") as f:
+        for i, line in enumerate(te_lines):
+            f.write(f"{1 if i % 3 == 0 else 0} {i % 5}:1 {100 + i % 7}:1\n")
+    rc = _run_cli(["-task", "c", "-train", trf, "-test", tef,
+                   "-dim", "1,1,3", "-method", "vb", "-iter", "2",
+                   "-map_eval", str(fixture), "-map_k", "5"],
+                  str(tmp_path))
+    assert rc == 0
