@@ -475,14 +475,37 @@ class SGDOnlineLearner(SGDLearner):
         self.train_ds = train
         self.rng = np.random.default_rng(cfg.seed)
 
+    @classmethod
+    def from_reader(cls, cfg, reader, test: SparseDataset, meta=None,
+                    mesh=None, out_dir: str = ".", write_files: bool = True):
+        """Out-of-core construction from a BinaryChunkReader: only one chunk
+        of training data is resident at a time (the reference's disk-chunked
+        epochs, fm_learn_sgd_online.h:78-131)."""
+        self = cls.__new__(cls)
+        first = next(iter(
+            __import__("svbfm_tpu.data.stream", fromlist=["stream_chunks"])
+            .stream_chunks(reader, max(1, cfg.num_batches))))
+        SGDLearner.__init__(self, cfg, first, test, meta, mesh, out_dir,
+                            write_files)
+        self.train_ds = None
+        self.reader = reader
+        self.rng = np.random.default_rng(cfg.seed)
+        return self
+
     def _chunks(self) -> Iterator[SparseDataset]:
-        """Shuffled permutation split into num_batches row chunks
-        (fm_learn_sgd_online.h:78-101)."""
+        """Shuffled chunks (fm_learn_sgd_online.h:78-101): row-permutation
+        split when in memory; shuffled-order row windows when streaming
+        from a binary file reader."""
+        nb = max(1, self.cfg.num_batches)
+        if getattr(self, "reader", None) is not None:
+            from svbfm_tpu.data.stream import stream_chunks
+            order = self.rng.permutation(min(nb, self.reader.num_rows))
+            yield from stream_chunks(self.reader, len(order), order=order)
+            return
         ds = self.train_ds
         n = ds.num_rows
         perm = self.rng.permutation(n)
-        nb = min(self.cfg.num_batches, max(1, n))
-        for part in np.array_split(perm, nb):
+        for part in np.array_split(perm, min(nb, max(1, n))):
             yield SparseDataset(
                 ids=ds.ids[part], vals=ds.vals[part], target=ds.target[part],
                 num_rows=len(part), num_features=ds.num_features,
