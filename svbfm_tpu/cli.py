@@ -62,6 +62,7 @@ Flags (libFM-compatible; -name value):
                hardcodes this path, fm_learn.h:124)
   -map_item_offset  subtract from fixture item ids; default=0
   -map_k       MAP cutoff; default=5
+  -profile     jax.profiler trace directory (TensorBoard/XProf)
   -help        this screen
 """
 
@@ -127,7 +128,7 @@ KNOWN = {"task", "meta", "train", "test", "validation", "out", "dim",
          "verbosity", "rlog", "seed", "help", "relation", "cache_size",
          "batch", "do_sampling", "do_multilevel", "num_eval_cases", "bins",
          "factor_block", "checkpoint", "checkpoint_every", "map_eval",
-         "map_item_offset", "map_k"}
+         "map_item_offset", "map_k", "profile"}
 
 
 def main(argv: Optional[list[str]] = None) -> int:
@@ -279,6 +280,19 @@ def main(argv: Optional[list[str]] = None) -> int:
     else:  # pragma: no cover
         raise SystemExit(f"method '{method}' not wired")
 
+    # initial-V dump (fm_model::init writes v_file.txt, fm_model.h:92-101)
+    try:
+        init_state = learner.init_state()
+        v0 = getattr(init_state, "v", None)
+        if v0 is None:
+            v0 = getattr(init_state, "mu_v", None)
+        if v0 is None and isinstance(init_state, tuple):
+            v0 = init_state[2]
+        if v0 is not None:
+            np.savetxt("v_file.txt", np.asarray(v0), fmt="%g")
+    except Exception:
+        pass
+
     # RLog schema (fm_learn.h:80-101 flavor)
     rlog.add_field("rmse")
     rlog.add_field("mae")
@@ -292,12 +306,15 @@ def main(argv: Optional[list[str]] = None) -> int:
         from svbfm_tpu.utils.checkpoint import CheckpointManager
         run_kw["ckpt"] = CheckpointManager(cmd.get_str("checkpoint"))
         run_kw["ckpt_every"] = cmd.get_int("checkpoint_every", 10)
-    try:
-        state, history = learner.run(num_iter=cfg.num_iter, verbose=verbose,
-                                     **run_kw)
-    except TypeError:
-        # learners without checkpoint support yet
-        state, history = learner.run(num_iter=cfg.num_iter, verbose=verbose)
+    from svbfm_tpu.utils.profiling import trace
+    with trace(cmd.get_str("profile") or None):
+        try:
+            state, history = learner.run(num_iter=cfg.num_iter,
+                                         verbose=verbose, **run_kw)
+        except TypeError:
+            # learners without checkpoint support yet
+            state, history = learner.run(num_iter=cfg.num_iter,
+                                         verbose=verbose)
     for rec in history:
         for key in ("rmse", "mae", "accuracy", "free_energy", "alpha"):
             if key in rec:
@@ -307,6 +324,11 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     # final evaluation + -out predictions (libfm.cpp:508-519)
     scores = learner.predict_test_scores(state)
+    nec = cmd.get_int("num_eval_cases", 0) or None
+    if nec:
+        scores_eval, target_eval = scores[:nec], test.target[:nec]
+    else:
+        scores_eval, target_eval = scores, test.target
     if cmd.has("map_eval"):
         from svbfm_tpu.learners.base import load_map_fixture, map_at_k
         u, i, pos = load_map_fixture(cmd.get_str("map_eval"),
@@ -314,13 +336,13 @@ def main(argv: Optional[list[str]] = None) -> int:
         mk = cmd.get_int("map_k", 5)
         print(f"MAP@{mk}\t{map_at_k(scores, u, i, pos, k=mk):.6g}")
     if task == TASK_REGRESSION:
-        p = np.clip(scores, min_t, max_t)
-        rmse = float(np.sqrt(np.mean((p - test.target) ** 2)))
+        p = np.clip(scores_eval, min_t, max_t)
+        rmse = float(np.sqrt(np.mean((p - target_eval) ** 2)))
         print(f"Final\tTest={rmse:.6g}")
-        out_vals = p
+        out_vals = np.clip(scores, min_t, max_t)
     else:
         prob = 1.0 / (1.0 + np.exp(-np.asarray(scores, np.float64)))
-        acc = float(np.mean((scores >= 0) == (test.target > 0)))
+        acc = float(np.mean((scores_eval >= 0) == (target_eval > 0)))
         print(f"Final\tTest={acc:.6g}")
         out_vals = prob
     if cmd.has("out"):
