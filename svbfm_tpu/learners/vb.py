@@ -139,10 +139,12 @@ def vb_w_bin_update(e, t, mu_w, sigma_w_dash, sigma_w, alpha, bin_blocks, row):
         sigma_w_dash = sigma_w_dash.at[blk.cols].set(sigma_new)
         dmu = dmu.at[blk.cols].set(mu_c - mu_new)
         dsig = dsig.at[blk.cols].set(sigma_new - sig_c)
-    # row-layout patch (e += x*(mu_old-mu_new), t += x^2*(sig_new-sig_old))
+    # row-layout patch (e += x*(mu_old-mu_new), t += x^2*(sig_new-sig_old));
+    # one stacked gather — gathers cost per index, not per channel
     x_r = row.vals
-    e = e + (x_r * take_rows(dmu, row.ids)).sum(-1)
-    t = t + (x_r * x_r * take_rows(dsig, row.ids)).sum(-1)
+    d = take_rows(jnp.stack([dmu, dsig], axis=-1), row.ids)  # [N, P, 2]
+    e = e + (x_r * d[..., 0]).sum(-1)
+    t = t + (x_r * x_r * d[..., 1]).sum(-1)
     return e, t, mu_w, sigma_w_dash
 
 

@@ -205,8 +205,9 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
                 dsig = dsig.at[blk.cols].set(sig_new - sig_c)
                 t_wj = t_wj.at[blk.cols].add(jnp.where(active, cnt, 0.0))
             x_r = row.vals
-            e = e + (x_r * take_rows(dmu, row.ids)).sum(-1) * row.valid
-            t = t + (x_r * x_r * take_rows(dsig, row.ids)).sum(-1) * row.valid
+            d = take_rows(jnp.stack([dmu, dsig], axis=-1), row.ids)
+            e = e + (x_r * d[..., 0]).sum(-1) * row.valid
+            t = t + (x_r * x_r * d[..., 1]).sum(-1) * row.valid
 
     # --- v sweeps, factor-blocked (fm_learn_vb_online.h:375-407,560-627) ---
     mu_v, sigma_v_dash = state.mu_v, state.sigma_v_dash
