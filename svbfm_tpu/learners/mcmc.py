@@ -455,7 +455,8 @@ class MCMCLearner:
             state = self.init_state()
         num_iter = num_iter if num_iter is not None else cfg.num_iter
         if chunk is None:
-            chunk = num_iter if num_iter <= 25 else 10
+            # fixed default chunk => one compiled program shape across runs
+            chunk = min(10, num_iter)
         rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
                                    self.write_files)
         from jax.sharding import NamedSharding

@@ -520,7 +520,8 @@ class VBLearner:
             state = self.init_state()
         num_iter = num_iter if num_iter is not None else cfg.num_iter
         if chunk is None:
-            chunk = num_iter if num_iter <= 25 else 10
+            # fixed default chunk => one compiled program shape across runs
+            chunk = min(10, num_iter)
         it = 0
         done = 0
         if ckpt is not None:
