@@ -175,8 +175,17 @@ def main(argv: Optional[list[str]] = None) -> int:
         raise SystemExit("-train and -test are mandatory")
 
     verbosity = cmd.get_int("verbosity", 0)
-    train = load_libfm_text(train_file)
-    test = load_libfm_text(test_file)
+
+    def _load(path):
+        # reference Data::load picks binary .x/.y (or .data/.target) when
+        # present, else parses the text file (Data.h:106-171)
+        from svbfm_tpu.data.binary import has_binary, load_coo_binary
+        if has_binary(path):
+            return load_coo_binary(path)
+        return load_libfm_text(path)
+
+    train = _load(train_file)
+    test = _load(test_file)
     D = max(train.num_features, test.num_features)
 
     if task == TASK_CLASSIFICATION:  # libfm.cpp:337-350

@@ -110,3 +110,15 @@ def test_cli_map_eval(data_files, tmp_path):
                    "-map_eval", str(fixture), "-map_k", "5"],
                   str(tmp_path))
     assert rc == 0
+
+
+def test_cli_binary_input(data_files, tmp_path):
+    from svbfm_tpu.data.binary import save_coo_binary
+    from svbfm_tpu.data.libfm_text import load_libfm_text
+    d, trf, tef, gf = data_files
+    tr = load_libfm_text(trf)
+    save_coo_binary(str(tmp_path / "trbin"), tr)
+    rc = _run_cli(["-task", "r", "-train", str(tmp_path / "trbin"),
+                   "-test", tef, "-dim", "1,1,3", "-method", "als",
+                   "-iter", "2", "-regular", "0.05"], str(tmp_path))
+    assert rc == 0
