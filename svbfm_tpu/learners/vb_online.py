@@ -414,6 +414,16 @@ class OVBLearner:
     def __init__(self, cfg: FMConfig, train: SparseDataset, test: SparseDataset,
                  meta: Optional[DataMetaInfo] = None, mesh=None,
                  bins: str = "auto", out_dir: str = ".", write_files: bool = True):
+        # Online natural-gradient updates are NOT stable under
+        # factor-Jacobi blocking: with rho ~ 1 on early chunks every factor
+        # takes the same aggressively scaled (alpha * col_count) step on the
+        # same residual, and K simultaneous steps overshoot into a
+        # sigma_v/alpha death spiral at scale.  The reference's
+        # factor-sequential Gauss-Seidel self-limits, so it is the default
+        # here (explicit factor_block > 1 overrides at your own risk).
+        if cfg.factor_block == 0:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, factor_block=1)
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         n_dev = self.mesh.devices.size
