@@ -31,7 +31,7 @@ REF_SECONDS_PER_ITER = 2.78
 NUM_USERS, NUM_ITEMS = 6040, 3952
 NUM_TRAIN = 1_000_000
 K = 20
-WARM_ITERS = 4
+WARM_ITERS = 10
 TIMED_ITERS = 20
 
 
@@ -64,7 +64,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     state, history = learner.run(state, num_iter=TIMED_ITERS, verbose=False,
-                                 chunk=WARM_ITERS)
+                                 chunk=WARM_ITERS)  # 2 fused calls of 10
     wall = time.perf_counter() - t0
     sec_per_iter = wall / TIMED_ITERS
 
