@@ -19,7 +19,7 @@ from flax import struct
 
 from svbfm_tpu.data.dataset import SparseDataset, SweepPlan
 from svbfm_tpu.data.meta import DataMetaInfo
-from svbfm_tpu.parallel.mesh import DATA_AXIS, data_spec, make_mesh, put_replicated, replicated, shard_rows
+from svbfm_tpu.parallel.mesh import DATA_AXIS, put_replicated, shard_rows
 
 TASK_REGRESSION = 0
 TASK_CLASSIFICATION = 1

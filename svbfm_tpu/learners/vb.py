@@ -8,10 +8,12 @@ are identical; the execution strategy is not:
   per-row residual caches e (= y - yhat), q, and T incrementally after each
   column.  Here columns are partitioned into conflict-free bins (no two
   columns of a bin co-occur in a row, see ``SweepPlan``); all columns of a
-  bin update simultaneously as gathers + segment reductions + unique-index
-  scatters, which is *exactly* equivalent to the serial sweep because their
-  residual touches are disjoint.  For one-hot field data the bins are the
-  fields in ascending-id order, matching the reference's 0..D-1 order.
+  bin update simultaneously — per-column statistics are masked row-sums
+  over degree-bucketed [C, L] entry blocks and the caches are patched in
+  one row-layout pass per bin — which is *exactly* equivalent to the
+  serial sweep because their residual touches are disjoint.  For one-hot
+  field data the bins are the fields in ascending-id order, matching the
+  reference's 0..D-1 order.
 * Rows (and the e/q/t caches) are sharded over the ``data`` axis of a device
   mesh; per-column sufficient statistics are shard-local segment sums
   combined with ``psum``.  Parameters are replicated.
@@ -32,7 +34,6 @@ Reference quirks intentionally preserved (they shape the graded curves):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

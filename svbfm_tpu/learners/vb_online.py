@@ -136,10 +136,8 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
     Nf = jnp.asarray(n_full, dtype)
     Nc = jnp.asarray(n_chunk, dtype)
     alpha = state.alpha
-    rho0 = (T0_W0 + state.t_w0 + 1.0) ** (-LAMBDA)  # new_w0 after t_w0+=1 of
-    # the previous chunk == (t0 + t)^-lambda with t = chunks processed so far
-    # ... except the very first value: reference init sets new_w0 =
-    # (t0+0)^-lambda = 1.0; with t_w0=0 here rho0=(1+0+1)^-.5. Align exactly:
+    # Robbins-Monro rate for w0/hypers: (t0 + t)^-lambda with t = chunks
+    # processed so far (reference init new_w0 = (t0+0)^-lambda = 1.0)
     rho0 = (T0_W0 + state.t_w0) ** (-LAMBDA)
 
     # chunk e / T caches from current primal parameters
