@@ -150,7 +150,7 @@ def vb_w_bin_update(e, t, mu_w, sigma_w_dash, sigma_w, alpha, bin_blocks, row):
 
 
 def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
-                      fmask=None):
+                      fmask=None, w_state=None):
     """Coordinate sweep for a *block* of F factors (fm_learn_vb.h:577-644).
 
     mu_t/sig_t are [D, F] slices of the variational factor tables; sv_t is
@@ -167,6 +167,11 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
 
     Row caches per factor: q = sum_i mu x_i, tq = sum_i sig x_i^2,
     tz = sum_i mu^2 x_i^2 (add_main_q, fm_learn_vb.h:354-381).
+
+    With ``w_state = (mu_w, sigma_w_dash, sigma_w)`` the linear-term sweep
+    rides along in the SAME two index passes per bin (its stats need only
+    e_g; its deltas join the patch table) — w joins the bin's Jacobi group,
+    which is only used in fast mode.  Returns the updated w_state last.
     """
     D, F = mu_t.shape
     ids, x_r = row.ids, row.vals
@@ -181,11 +186,17 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
     tq = (sigg * x2_re).sum(1)
     tz = (mug * mug * x2_re).sum(1)
 
+    if w_state is not None:
+        mu_w, sig_w_dash, sigma_w = w_state
+
     for bin_blocks in plan.blocks:
         mu_old_t, sig_old_t = mu_t, sig_t  # pre-bin snapshots (functional)
         dmu_d = jnp.zeros((D, F), mu_t.dtype)
         dsig_d = jnp.zeros((D, F), mu_t.dtype)
         dmu2_d = jnp.zeros((D, F), mu_t.dtype)
+        if w_state is not None:
+            wdmu_d = jnp.zeros((D,), mu_t.dtype)
+            wdsig_d = jnp.zeros((D,), mu_t.dtype)
         stab = jnp.concatenate([e[:, None], q, tq], axis=-1)  # [N, 1+2F]
         for blk in bin_blocks:
             x = blk.x[0][:, :, None]  # [C, L, 1]
@@ -214,12 +225,28 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
             dsig_d = dsig_d.at[blk.cols].set(sigma_new - sig_c)
             dmu2_d = dmu2_d.at[blk.cols].set(mu_new * mu_new - mu_c * mu_c)
 
-        # ONE stacked row-layout patch gather per bin: [D, 5F] table.
+            if w_state is not None:
+                # linear-term update riding the same e_g (fm_learn_vb.h:527-574)
+                wmu_c = take_rows(mu_w, blk.cols)
+                wsig_c = take_rows(sig_w_dash, blk.cols)
+                sw_g = take_rows(sigma_w, blk.group)
+                sxe = _psum((x[..., 0] * e_g[..., 0]).sum(-1))
+                wsig_new = keep_finite(1.0 / (sw_g + alpha * blk.sx2), wsig_c)
+                wmu_new = keep_finite(
+                    wsig_new * alpha * (sxe + wmu_c * blk.sx2), wmu_c)
+                mu_w = mu_w.at[blk.cols].set(wmu_new)
+                sig_w_dash = sig_w_dash.at[blk.cols].set(wsig_new)
+                wdmu_d = wdmu_d.at[blk.cols].set(wmu_c - wmu_new)
+                wdsig_d = wdsig_d.at[blk.cols].set(wsig_new - wsig_c)
+
+        # ONE stacked row-layout patch gather per bin: [D, 5F(+2)] table.
         # Deltas are 0 for out-of-bin columns so their terms vanish; exact
         # for conflict-free bins (a row has <=1 in-bin entry).
-        dtab = jnp.concatenate([mu_old_t, sig_old_t, dmu_d, dsig_d, dmu2_d],
-                               axis=-1)
-        gg = take_rows(dtab, ids)  # [N, P, 5F]
+        parts = [mu_old_t, sig_old_t, dmu_d, dsig_d, dmu2_d]
+        if w_state is not None:
+            parts += [wdmu_d[:, None], wdsig_d[:, None]]
+        dtab = jnp.concatenate(parts, axis=-1)
+        gg = take_rows(dtab, ids)  # [N, P, 5F(+2)]
         mu_e = gg[..., 0 * F:1 * F]
         sig_e = gg[..., 1 * F:2 * F]
         dmu_e = gg[..., 2 * F:3 * F]
@@ -233,6 +260,11 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
         tz = tz + (x2_re * dmu2_e).sum(1)
         e = e - (he * dmu_e).sum((1, 2))
         t = t + ((h1e + h2e) * dsig_e + h1e * dmu2_e).sum((1, 2))
+        if w_state is not None:
+            e = e + (x_r * gg[..., 5 * F]).sum(-1)
+            t = t + (x_r * x_r * gg[..., 5 * F + 1]).sum(-1)
+    if w_state is not None:
+        return e, t, mu_t, sig_t, (mu_w, sig_w_dash, sigma_w)
     return e, t, mu_t, sig_t
 
 
@@ -257,18 +289,19 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
         t = t + (sigma_new - sigma_old)
         mu_0, sigma_0_dash = mu_new, sigma_new
 
+    # In fast mode (factor_block=0) the linear-term sweep rides inside the
+    # first v block's index passes (w joins the bin-level Jacobi group);
+    # otherwise (exact mode / K=0) it runs standalone, reference-ordered.
+    K = cfg.num_factor
+    merge_w = cfg.k1 and cfg.factor_block == 0 and K > 0
+
     # --- w sweep (fm_learn_vb.h:390-406) ---
-    if cfg.k1:
+    if cfg.k1 and not merge_w:
         for bin_blocks in plan.blocks:
             e, t, mu_w, sigma_w_dash = vb_w_bin_update(
                 e, t, mu_w, sigma_w_dash, state.sigma_w, alpha, bin_blocks, row)
-        # columns with no occurrences: sigma' = 1/sigma_w(g), mu' = 0
-        sw_d = jnp.take(state.sigma_w, plan.attr_group)
-        sigma_w_dash = jnp.where(plan.unobserved, 1.0 / sw_d, sigma_w_dash)
-        mu_w = jnp.where(plan.unobserved, jnp.zeros((), dtype), mu_w)
 
     # --- v sweeps, factor-major (fm_learn_vb.h:409-440) ---
-    K = cfg.num_factor
     if K > 0:
         F = cfg.factor_block if cfg.factor_block > 0 else K
         F = min(F, K)
@@ -287,6 +320,8 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
         if K_pad != K:
             fmask = (jnp.arange(K_pad).reshape(nb, F) < K)
 
+        w_state = (mu_w, sigma_w_dash, state.sigma_w) if merge_w else None
+
         def blk_step(carry, xs):
             e, t = carry
             if fmask is None:
@@ -295,8 +330,10 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
             else:
                 mu_b, sig_b, sv_b, m = xs
                 m = m[None, :]
-            e, t, mu_bt, sig_bt = vb_v_block_update(
-                e, t, mu_b.T, sig_b.T, sv_b.T, alpha, plan, row, fmask=m)
+            out = vb_v_block_update(
+                e, t, mu_b.T, sig_b.T, sv_b.T, alpha, plan, row, fmask=m,
+                w_state=w_state)
+            e, t, mu_bt, sig_bt = out[:4]
             return (e, t), (mu_bt.T, sig_bt.T)
 
         xs = (pad_f(mu_v), pad_f(sigma_v_dash),
@@ -307,9 +344,30 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
             # avoid lax.scan for a single block: a scan body closing over
             # the (large, loop-invariant) plan arrays compiles to a while
             # loop that re-materializes them per iteration
-            (e, t), out = blk_step((e, t), jax.tree.map(lambda a: a[0], xs))
-            mu_vp, sig_vp = jax.tree.map(lambda a: a[None], out)
+            xs0 = jax.tree.map(lambda a: a[0], xs)
+            if fmask is None:
+                mu_b, sig_b, sv_b = xs0
+                m = None
+            else:
+                mu_b, sig_b, sv_b, m = xs0
+                m = m[None, :]
+            out = vb_v_block_update(
+                e, t, mu_b.T, sig_b.T, sv_b.T, alpha, plan, row, fmask=m,
+                w_state=w_state)
+            e, t, mu_bt, sig_bt = out[:4]
+            if merge_w:
+                mu_w, sigma_w_dash, _sw = out[4]
+            mu_vp = mu_bt.T[None]
+            sig_vp = sig_bt.T[None]
         else:
+            if merge_w:
+                # multi-block + merged-w not supported under scan (w would
+                # update once per block); run w standalone instead
+                for bin_blocks in plan.blocks:
+                    e, t, mu_w, sigma_w_dash = vb_w_bin_update(
+                        e, t, mu_w, sigma_w_dash, state.sigma_w, alpha,
+                        bin_blocks, row)
+                w_state = None
             (e, t), (mu_vp, sig_vp) = jax.lax.scan(blk_step, (e, t), xs)
         mu_v = mu_vp.reshape(K_pad, -1)[:K]
         sigma_v_dash = sig_vp.reshape(K_pad, -1)[:K]
@@ -317,6 +375,12 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
         sv_d = sv_dk.T  # [K, D]
         sigma_v_dash = jnp.where(plan.unobserved[None, :], 1.0 / sv_d, sigma_v_dash)
         mu_v = jnp.where(plan.unobserved[None, :], jnp.zeros((), dtype), mu_v)
+
+    # columns with no occurrences: sigma' = 1/sigma_w(g), mu' = 0
+    if cfg.k1:
+        sw_d = jnp.take(state.sigma_w, plan.attr_group)
+        sigma_w_dash = jnp.where(plan.unobserved, 1.0 / sw_d, sigma_w_dash)
+        mu_w = jnp.where(plan.unobserved, jnp.zeros((), dtype), mu_w)
 
     # --- hyperparameter updates (fm_learn_vb.h:446-498) ---
     alpha_temp = _psum(jnp.sum((e * e + t) * row.valid))
