@@ -155,9 +155,16 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
 
     mu_t/sig_t are [D, F] slices of the variational factor tables; sv_t is
     the [D, F] per-attribute prior precision.  All per-entry reads are
-    channel-stacked so each bin costs exactly TWO index passes (one [C, L]
-    stats gather, one [N, P] patch gather) regardless of F — gathers on TPU
-    are per-index bound, so batching factors divides index work by F.
+    channel-stacked so each bin costs O(1) index passes regardless of F —
+    gathers on TPU are per-index bound, so batching factors divides index
+    work by F.
+
+    Memory discipline: every large array keeps a LARGE minor dimension
+    (TPU tiles the last two dims to (8,128); a [N, P]- or [N, F]-shaped
+    temp is padded up to 64x).  Row caches live as [F, N]; per-entry reads
+    use per-position flat index vectors; the [*, L, CH] gather temps are
+    bounded by scanning over column tiles with the statistics reduction
+    fused into the tile, so only [F, C] / [F, N] results materialize.
 
     Semantics: bins sequential (exact Gauss-Seidel over columns), factors
     within the block Jacobi (each factor's stats see the block-entry e;
@@ -169,49 +176,89 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
     tz = sum_i mu^2 x_i^2 (add_main_q, fm_learn_vb.h:354-381).
 
     With ``w_state = (mu_w, sigma_w_dash, sigma_w)`` the linear-term sweep
-    rides along in the SAME two index passes per bin (its stats need only
-    e_g; its deltas join the patch table) — w joins the bin's Jacobi group,
-    which is only used in fast mode.  Returns the updated w_state last.
+    rides along in the same index passes (fast mode only).  Returns the
+    updated w_state last when given.
     """
     D, F = mu_t.shape
     ids, x_r = row.ids, row.vals
-    x_re = x_r[:, :, None]
-    x2_re = x_re * x_re
-
-    # build q/tq/tz [N, F] with ONE stacked gather from [D, 2F]
-    ptab = jnp.concatenate([mu_t, sig_t], axis=-1)
-    pg = take_rows(ptab, ids)  # [N, P, 2F]
-    mug, sigg = pg[..., :F], pg[..., F:]
-    q = (mug * x_re).sum(1)
-    tq = (sigg * x2_re).sum(1)
-    tz = (mug * mug * x2_re).sum(1)
-
     if w_state is not None:
         mu_w, sig_w_dash, sigma_w = w_state
 
+    n_loc, P_row = ids.shape
+    dtype = mu_t.dtype
+    # budget for per-tile gather temps (elements, pre-padding ~128-lane)
+    max_elems = 32 * 1024 * 1024
+
+    # --- q/tq/tz build as [F, N] (one flat gather per row position) ---
+    ptab_t = jnp.concatenate([mu_t.T, sig_t.T], axis=0)  # [2F, D]
+    q = jnp.zeros((F, n_loc), dtype)
+    tq = jnp.zeros((F, n_loc), dtype)
+    tz = jnp.zeros((F, n_loc), dtype)
+    for p in range(P_row):
+        g = jnp.take(ptab_t, ids[:, p], axis=-1)  # [2F, N]
+        xp = x_r[:, p][None]
+        x2p = xp * xp
+        mug, sigg = g[:F], g[F:]
+        q = q + mug * xp
+        tq = tq + sigg * x2p
+        tz = tz + mug * mug * x2p
+
     for bin_blocks in plan.blocks:
         mu_old_t, sig_old_t = mu_t, sig_t  # pre-bin snapshots (functional)
-        dmu_d = jnp.zeros((D, F), mu_t.dtype)
-        dsig_d = jnp.zeros((D, F), mu_t.dtype)
-        dmu2_d = jnp.zeros((D, F), mu_t.dtype)
+        dmu_d = jnp.zeros((D, F), dtype)
+        dsig_d = jnp.zeros((D, F), dtype)
+        dmu2_d = jnp.zeros((D, F), dtype)
         if w_state is not None:
-            wdmu_d = jnp.zeros((D,), mu_t.dtype)
-            wdsig_d = jnp.zeros((D,), mu_t.dtype)
-        stab = jnp.concatenate([e[:, None], q, tq], axis=-1)  # [N, 1+2F]
+            wdmu_d = jnp.zeros((D,), dtype)
+            wdsig_d = jnp.zeros((D,), dtype)
+        eq_t = jnp.concatenate([e[None], q, tq], axis=0)  # [1+2F, N]
         for blk in bin_blocks:
-            x = blk.x[0][:, :, None]  # [C, L, 1]
-            x2 = x * x
-            g = take_rows(stab, blk.rows[0])  # [C, L, 1+2F]
-            e_g = g[..., :1]
-            q_g = g[..., 1:1 + F]
-            tq_g = g[..., 1 + F:]
+            C, L = blk.rows[0].shape
             mu_c = take_rows(mu_old_t, blk.cols)  # [C, F]
             sig_c = take_rows(sig_old_t, blk.cols)
             sv_g = take_rows(sv_t, blk.cols)
-            h = q_g - x * mu_c[:, None, :]
-            h1 = tq_g - x2 * sig_c[:, None, :]
-            v_mean = _psum((x * h * (e_g + x * mu_c[:, None, :] * h)).sum(1))
-            v_sig = _psum((x2 * h * h + x2 * h1).sum(1))
+
+            def tile_stats(rows_t, x_t, mu_ct, sig_ct):
+                # rows_t [Ct, L]; returns per-column stats [Ct, F] (+ sxe)
+                g = jnp.take(eq_t, rows_t.reshape(-1), axis=-1)
+                g = g.reshape(1 + 2 * F, *rows_t.shape)  # [1+2F, Ct, L]
+                e_g = g[0]                        # [Ct, L]
+                q_g = g[1:1 + F]                  # [F, Ct, L]
+                tq_g = g[1 + F:]
+                xb = x_t[None]                    # [1, Ct, L]
+                mu_b = mu_ct.T[:, :, None]        # [F, Ct, 1]
+                sig_b = sig_ct.T[:, :, None]
+                h = q_g - xb * mu_b
+                h1 = tq_g - xb * xb * sig_b
+                vm = (xb * h * (e_g[None] + xb * mu_b * h)).sum(-1)   # [F, Ct]
+                vs = (xb * xb * (h * h + h1)).sum(-1)                 # [F, Ct]
+                sxe = (x_t * e_g).sum(-1)                             # [Ct]
+                return vm.T, vs.T, sxe                                # [Ct, F]x2
+
+            # tile over columns so the [1+2F, Ct, L] gather temp is bounded
+            per_col = (1 + 2 * F) * max(L, 128)
+            ct = max(1, -(-(C * per_col) // max_elems))
+            if ct == 1:
+                v_mean, v_sig, sxe = tile_stats(blk.rows[0], blk.x[0],
+                                                mu_c, sig_c)
+            else:
+                C_pad = -(-C // ct) * ct
+                pad = C_pad - C
+                rows_p = jnp.pad(blk.rows[0], ((0, pad), (0, 0)))
+                x_p = jnp.pad(blk.x[0], ((0, pad), (0, 0)))
+                mu_p = jnp.pad(mu_c, ((0, pad), (0, 0)))
+                sig_p = jnp.pad(sig_c, ((0, pad), (0, 0)))
+                Ct = C_pad // ct
+                xs = (rows_p.reshape(ct, Ct, L), x_p.reshape(ct, Ct, L),
+                      mu_p.reshape(ct, Ct, F), sig_p.reshape(ct, Ct, F))
+                _, outs = jax.lax.scan(
+                    lambda c, a: (c, tile_stats(*a)), 0, xs)
+                v_mean = outs[0].reshape(C_pad, F)[:C]
+                v_sig = outs[1].reshape(C_pad, F)[:C]
+                sxe = outs[2].reshape(C_pad)[:C]
+            v_mean = _psum(v_mean)
+            v_sig = _psum(v_sig)
+
             sigma_new = 1.0 / (sv_g + alpha * v_sig)
             sigma_new = keep_finite(sigma_new, sig_c)
             mu_new = sigma_new * alpha * v_mean
@@ -226,11 +273,12 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
             dmu2_d = dmu2_d.at[blk.cols].set(mu_new * mu_new - mu_c * mu_c)
 
             if w_state is not None:
-                # linear-term update riding the same e_g (fm_learn_vb.h:527-574)
+                # linear-term update riding the same stats pass
+                # (fm_learn_vb.h:527-574)
                 wmu_c = take_rows(mu_w, blk.cols)
                 wsig_c = take_rows(sig_w_dash, blk.cols)
                 sw_g = take_rows(sigma_w, blk.group)
-                sxe = _psum((x[..., 0] * e_g[..., 0]).sum(-1))
+                sxe = _psum(sxe)
                 wsig_new = keep_finite(1.0 / (sw_g + alpha * blk.sx2), wsig_c)
                 wmu_new = keep_finite(
                     wsig_new * alpha * (sxe + wmu_c * blk.sx2), wmu_c)
@@ -239,30 +287,61 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
                 wdmu_d = wdmu_d.at[blk.cols].set(wmu_c - wmu_new)
                 wdsig_d = wdsig_d.at[blk.cols].set(wsig_new - wsig_c)
 
-        # ONE stacked row-layout patch gather per bin: [D, 5F(+2)] table.
-        # Deltas are 0 for out-of-bin columns so their terms vanish; exact
-        # for conflict-free bins (a row has <=1 in-bin entry).
-        parts = [mu_old_t, sig_old_t, dmu_d, dsig_d, dmu2_d]
+        # --- row-layout cache patch for the whole bin ---
+        # Per-entry old values come from the pre-bin tables; deltas are 0
+        # for out-of-bin columns so their terms vanish.  Exact for
+        # conflict-free bins (a row has <=1 in-bin entry).  One flat
+        # gather per row position from a [CH, D] channel-stacked table.
+        parts = [mu_old_t.T, sig_old_t.T, dmu_d.T, dsig_d.T, dmu2_d.T]
         if w_state is not None:
-            parts += [wdmu_d[:, None], wdsig_d[:, None]]
-        dtab = jnp.concatenate(parts, axis=-1)
-        gg = take_rows(dtab, ids)  # [N, P, 5F(+2)]
-        mu_e = gg[..., 0 * F:1 * F]
-        sig_e = gg[..., 1 * F:2 * F]
-        dmu_e = gg[..., 2 * F:3 * F]
-        dsig_e = gg[..., 3 * F:4 * F]
-        dmu2_e = gg[..., 4 * F:5 * F]
-        he = x_re * (q[:, None, :] - x_re * mu_e)
-        h1e = x2_re * (tq[:, None, :] - x2_re * sig_e)
-        h2e = x2_re * (tz[:, None, :] - x2_re * mu_e * mu_e)
-        q = q + (x_re * dmu_e).sum(1)
-        tq = tq + (x2_re * dsig_e).sum(1)
-        tz = tz + (x2_re * dmu2_e).sum(1)
-        e = e - (he * dmu_e).sum((1, 2))
-        t = t + ((h1e + h2e) * dsig_e + h1e * dmu2_e).sum((1, 2))
-        if w_state is not None:
-            e = e + (x_r * gg[..., 5 * F]).sum(-1)
-            t = t + (x_r * x_r * gg[..., 5 * F + 1]).sum(-1)
+            parts += [wdmu_d[None], wdsig_d[None]]
+        dtab_t = jnp.concatenate(parts, axis=0)  # [5F(+2), D]
+        CH = dtab_t.shape[0]
+
+        def patch_tile(ids_t, x_t, q_t, tq_t, tz_t, e_t, t_t):
+            # ids_t/x_t [P, Nt]; caches [F, Nt] / [Nt]
+            for p in range(P_row):
+                gg = jnp.take(dtab_t, ids_t[p], axis=-1)  # [CH, Nt]
+                xp = x_t[p][None]
+                x2p = xp * xp
+                mu_e = gg[0 * F:1 * F]
+                sig_e = gg[1 * F:2 * F]
+                dmu_e = gg[2 * F:3 * F]
+                dsig_e = gg[3 * F:4 * F]
+                dmu2_e = gg[4 * F:5 * F]
+                he = xp * (q_t - xp * mu_e)
+                h1e = x2p * (tq_t - x2p * sig_e)
+                h2e = x2p * (tz_t - x2p * mu_e * mu_e)
+                q_t = q_t + xp * dmu_e
+                tq_t = tq_t + x2p * dsig_e
+                tz_t = tz_t + x2p * dmu2_e
+                e_t = e_t - (he * dmu_e).sum(0)
+                t_t = t_t + ((h1e + h2e) * dsig_e + h1e * dmu2_e).sum(0)
+                if w_state is not None:
+                    e_t = e_t + x_t[p] * gg[5 * F]
+                    t_t = t_t + x_t[p] * x_t[p] * gg[5 * F + 1]
+            return q_t, tq_t, tz_t, e_t, t_t
+
+        ids_pn = ids.T  # [P, N] (small sublane pad only)
+        x_pn = x_r.T
+        rt = max(1, -(-(n_loc * CH) // max_elems))
+        while n_loc % rt != 0 and rt < n_loc:
+            rt += 1
+        if rt == 1:
+            q, tq, tz, e, t = patch_tile(ids_pn, x_pn, q, tq, tz, e, t)
+        else:
+            Nt = n_loc // rt
+
+            def resh(a):  # [..., N] -> [rt, ..., Nt]
+                return jnp.moveaxis(a.reshape(a.shape[:-1] + (rt, Nt)), -2, 0)
+
+            xs = tuple(resh(a) for a in (ids_pn, x_pn, q, tq, tz, e, t))
+            _, outs = jax.lax.scan(lambda c, a: (c, patch_tile(*a)), 0, xs)
+
+            def unresh(o):  # [rt, ..., Nt] -> [..., N]
+                return jnp.moveaxis(o, 0, -2).reshape(o.shape[1:-1] + (n_loc,))
+
+            q, tq, tz, e, t = (unresh(o) for o in outs)
     if w_state is not None:
         return e, t, mu_t, sig_t, (mu_w, sig_w_dash, sigma_w)
     return e, t, mu_t, sig_t

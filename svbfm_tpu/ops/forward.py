@@ -36,7 +36,8 @@ def fm_scores_and_sums(w0, w, v, ids, vals, k0: bool = True, k1: bool = True):
     if k0:
         acc = acc + w0
     if k1:
-        acc = acc + (_gather_rows(w, ids) * vals).sum(-1)
+        for p in range(ids.shape[1]):
+            acc = acc + jnp.take(w, ids[:, p], axis=-1) * vals[:, p]
     vg = _gather_rows(v, ids)  # [K, N, P]
     d = vg * vals[None]
     s = d.sum(-1)  # [K, N]
@@ -55,7 +56,8 @@ def fm_scores(w0, w, v, ids, vals, k0: bool = True, k1: bool = True,
     if k0:
         acc = acc + w0
     if k1:
-        acc = acc + (_gather_rows(w, ids) * vals).sum(-1)
+        for p in range(ids.shape[1]):
+            acc = acc + jnp.take(w, ids[:, p], axis=-1) * vals[:, p]
     if K == 0:
         return acc
     chunk = K if factor_chunk is None else min(factor_chunk, K)
@@ -63,10 +65,14 @@ def fm_scores(w0, w, v, ids, vals, k0: bool = True, k1: bool = True,
         chunk = K  # keep shapes static; fall back to single chunk
 
     def blk(v_blk):
-        vg = _gather_rows(v_blk, ids)  # [chunk, N, P]
-        d = vg * vals[None]
-        s = d.sum(-1)
-        s2 = (d * d).sum(-1)
+        # per-position flat gathers: a [chunk, N, P] temp would get its
+        # size-P minor dim tile-padded up to 64x on TPU
+        s = 0.0
+        s2 = 0.0
+        for p in range(ids.shape[1]):
+            d = jnp.take(v_blk, ids[:, p], axis=-1) * vals[:, p]  # [chunk, N]
+            s = s + d
+            s2 = s2 + d * d
         return 0.5 * (s * s - s2).sum(0)
 
     if chunk == K:
@@ -89,7 +95,8 @@ def fm_t_terms(sigma_0_dash, sigma_w_dash, mu_v_dash, sigma_v_dash, ids, vals,
     if k0:
         acc = acc + sigma_0_dash
     if k1:
-        acc = acc + (_gather_rows(sigma_w_dash, ids) * x2).sum(-1)
+        for p in range(ids.shape[1]):
+            acc = acc + jnp.take(sigma_w_dash, ids[:, p], axis=-1) * x2[:, p]
     if K == 0:
         return acc
     chunk = K if factor_chunk is None else min(factor_chunk, K)
@@ -97,13 +104,18 @@ def fm_t_terms(sigma_0_dash, sigma_w_dash, mu_v_dash, sigma_v_dash, ids, vals,
         chunk = K
 
     def blk(m_blk, s_blk):
-        mg = _gather_rows(m_blk, ids)  # [chunk, N, P]
-        sg = _gather_rows(s_blk, ids)
-        mx = mg * vals[None]
-        q2 = (mx * mx).sum(-1)  # [chunk, N] sum (m x)^2
-        z = (sg * x2[None]).sum(-1)  # sum s x^2
-        x4 = x2 * x2
-        neg = (mg * mg * x4[None] * sg + 0.5 * x4[None] * sg * sg).sum(-1)
+        # per-position flat gathers (see fm_scores: avoids P-minor padding)
+        q2 = 0.0
+        z = 0.0
+        neg = 0.0
+        for p in range(ids.shape[1]):
+            mg = jnp.take(m_blk, ids[:, p], axis=-1)  # [chunk, N]
+            sg = jnp.take(s_blk, ids[:, p], axis=-1)
+            x2p = x2[:, p]
+            mx = mg * vals[:, p]
+            q2 = q2 + mx * mx
+            z = z + sg * x2p
+            neg = neg + mg * mg * (x2p * x2p) * sg + 0.5 * (x2p * x2p) * sg * sg
         t = 0.5 * z * z + z * q2 - neg
         return t.sum(0)
 
