@@ -186,8 +186,9 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
 
     n_loc, P_row = ids.shape
     dtype = mu_t.dtype
-    # budget for per-tile gather temps (elements, pre-padding ~128-lane)
-    max_elems = 32 * 1024 * 1024
+    # budget for per-tile gather temps (elements; ~1 GB f32).  Tiling only
+    # engages beyond ML-1M scale — tiled sweeps require run(chunk=1)
+    max_elems = 256 * 1024 * 1024
 
     # --- q/tq/tz build as [F, N] (one flat gather per row position) ---
     ptab_t = jnp.concatenate([mu_t.T, sig_t.T], axis=0)  # [2F, D]
@@ -235,13 +236,19 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
                 sxe = (x_t * e_g).sum(-1)                             # [Ct]
                 return vm.T, vs.T, sxe                                # [Ct, F]x2
 
-            # tile over columns so the [1+2F, Ct, L] gather temp is bounded
+            # tile over columns so the [1+2F, Ct, L] gather temp is bounded;
+            # tiles are unrolled in Python (nested lax.scan inside the
+            # fused-iteration scan miscompiles on TPU)
             per_col = (1 + 2 * F) * max(L, 128)
             ct = max(1, -(-(C * per_col) // max_elems))
             if ct == 1:
                 v_mean, v_sig, sxe = tile_stats(blk.rows[0], blk.x[0],
                                                 mu_c, sig_c)
             else:
+                # lax.scan over column tiles: sequentializes the gather
+                # temps.  NOTE: nested scans miscompile inside an outer
+                # iteration scan on TPU, so large problems must run with
+                # run(chunk=1) (handled automatically by the learner).
                 C_pad = -(-C // ct) * ct
                 pad = C_pad - C
                 rows_p = jnp.pad(blk.rows[0], ((0, pad), (0, 0)))
@@ -325,21 +332,26 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
         ids_pn = ids.T  # [P, N] (small sublane pad only)
         x_pn = x_r.T
         rt = max(1, -(-(n_loc * CH) // max_elems))
-        while n_loc % rt != 0 and rt < n_loc:
-            rt += 1
         if rt == 1:
             q, tq, tz, e, t = patch_tile(ids_pn, x_pn, q, tq, tz, e, t)
         else:
-            Nt = n_loc // rt
+            # lax.scan over row tiles (pad rows have x=0: patches vanish);
+            # see the column-tiling note about nested scans
+            n_pad = -(-n_loc // rt) * rt
+            pad = n_pad - n_loc
 
             def resh(a):  # [..., N] -> [rt, ..., Nt]
-                return jnp.moveaxis(a.reshape(a.shape[:-1] + (rt, Nt)), -2, 0)
+                if pad:
+                    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+                return jnp.moveaxis(a.reshape(a.shape[:-1] + (rt, n_pad // rt)),
+                                    -2, 0)
 
             xs = tuple(resh(a) for a in (ids_pn, x_pn, q, tq, tz, e, t))
             _, outs = jax.lax.scan(lambda c, a: (c, patch_tile(*a)), 0, xs)
 
             def unresh(o):  # [rt, ..., Nt] -> [..., N]
-                return jnp.moveaxis(o, 0, -2).reshape(o.shape[1:-1] + (n_loc,))
+                full = jnp.moveaxis(o, 0, -2).reshape(o.shape[1:-1] + (n_pad,))
+                return full[..., :n_loc]
 
             q, tq, tz, e, t = (unresh(o) for o in outs)
     if w_state is not None:
@@ -606,6 +618,13 @@ class VBLearner:
             return self._fused_cache[chunk]
 
         def multi(state, row, plan, trow):
+            if chunk == 1:
+                # direct call: the sweep's internal tile scans (large-N
+                # memory bounding) miscompile when nested inside an outer
+                # iteration scan on TPU
+                state, metrics = self._iter_body(state, row, plan, trow)
+                return state, jax.tree.map(lambda a: a[None], metrics)
+
             def body(st, _):
                 return self._iter_body(st, row, plan, trow)
 
@@ -643,6 +662,16 @@ class VBLearner:
                          self.test_row.ids, self.test_row.vals)
         return np.asarray(s)[: self.test_n]
 
+    def _needs_row_tiling(self) -> bool:
+        """Mirrors the tiling predicate in vb_v_block_update (rt > 1)."""
+        cfg = self.cfg
+        K = cfg.num_factor
+        F = min(cfg.factor_block, K) if cfg.factor_block > 0 else K
+        merge_w = cfg.k1 and cfg.factor_block == 0 and K > 0
+        ch = 5 * max(F, 1) + (2 if merge_w else 0)
+        n_loc = self.train_row.ids.shape[0] // self.mesh.devices.size
+        return n_loc * ch > 256 * 1024 * 1024
+
     def _place(self, state: VBState) -> VBState:
         """device_put a (possibly host/numpy) state with step shardings."""
         from jax.sharding import NamedSharding
@@ -664,8 +693,10 @@ class VBLearner:
             state = self.init_state()
         num_iter = num_iter if num_iter is not None else cfg.num_iter
         if chunk is None:
-            # fixed default chunk => one compiled program shape across runs
-            chunk = min(10, num_iter)
+            # fixed default chunk => one compiled program shape across runs.
+            # Large problems whose sweeps engage internal memory tiling must
+            # run one iteration per program (see _fused_steps).
+            chunk = 1 if self._needs_row_tiling() else min(10, num_iter)
         it = 0
         done = 0
         if ckpt is not None:
