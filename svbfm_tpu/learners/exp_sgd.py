@@ -85,7 +85,10 @@ def exp_sgd_sweep(w0, w, v, e, row, plan, cfg: FMConfig, n_cases: float):
                 w_new = keep_finite(w_c - lr * (w_sum + cfg.regw * w_c) / N, w_c)
                 w = w.at[blk.cols].set(w_new)
                 dw = dw.at[blk.cols].set(w_c - w_new)
-            e = e - (row.vals * take_rows(dw, row.ids)).sum(-1) * row.valid
+            de = 0.0
+            for p in range(row.ids.shape[1]):
+                de = de + row.vals[:, p] * jnp.take(dw, row.ids[:, p])
+            e = e - de * row.valid
 
     if K > 0:
         F = cfg.factor_block if cfg.factor_block > 0 else K

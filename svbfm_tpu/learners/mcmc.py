@@ -178,7 +178,9 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
                 w = w.at[blk.cols].set(new_w)
                 dw = dw.at[blk.cols].set(w_c - new_w)
             # one row-layout residual patch per bin: e -= x * (w_old - w_new)
-            e = e - (row.vals * take_rows(dw, row.ids)).sum(-1)
+            # (per-position flat gathers: [N, P] temps tile-pad 64x)
+            for p in range(row.ids.shape[1]):
+                e = e - row.vals[:, p] * jnp.take(dw, row.ids[:, p])
         # unobserved columns: posterior = prior N(mu_g, 1/lambda_g)
         mu_d = _gather(w_mu, plan.attr_group)
         lam_d = _gather(w_lambda, plan.attr_group)
@@ -214,7 +216,9 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
         def f_step(carry, xs):
             e, key = carry
             v_f, mu_f, lam_f = xs  # [D], [G], [G]
-            q = (take_rows(v_f, row.ids) * row.vals).sum(-1)
+            q = 0.0
+            for p in range(row.ids.shape[1]):
+                q = q + jnp.take(v_f, row.ids[:, p]) * row.vals[:, p]
 
             for bin_blocks in plan.blocks:
                 v_old_d = v_f  # pre-bin snapshot (functional)
@@ -237,12 +241,18 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
                     v_f = v_f.at[blk.cols].set(new_v)
                     dv = dv.at[blk.cols].set(v_c - new_v)
                 # one row-layout patch per bin: h from pre-bin q and v
-                ids, x_r = row.ids, row.vals
-                v_e = take_rows(v_old_d, ids)
-                dv_e = take_rows(dv, ids)
-                h_e = x_r * (q[:, None] - x_r * v_e)
-                q = q - (x_r * dv_e).sum(-1)
-                e = e - (h_e * dv_e).sum(-1)
+                # (per-position flat gathers from a [2, D] stacked table)
+                vtab = jnp.stack([v_old_d, dv], axis=0)
+                dq = 0.0
+                de = 0.0
+                for p in range(row.ids.shape[1]):
+                    g = jnp.take(vtab, row.ids[:, p], axis=-1)  # [2, N]
+                    xp = row.vals[:, p]
+                    h_e = xp * (q - xp * g[0])
+                    dq = dq + xp * g[1]
+                    de = de + h_e * g[1]
+                q = q - dq
+                e = e - de
 
             key, sub = jax.random.split(key)
             mu_d = _gather(mu_f, plan.attr_group)

@@ -141,11 +141,14 @@ def vb_w_bin_update(e, t, mu_w, sigma_w_dash, sigma_w, alpha, bin_blocks, row):
         dmu = dmu.at[blk.cols].set(mu_c - mu_new)
         dsig = dsig.at[blk.cols].set(sigma_new - sig_c)
     # row-layout patch (e += x*(mu_old-mu_new), t += x^2*(sig_new-sig_old));
-    # one stacked gather — gathers cost per index, not per channel
-    x_r = row.vals
-    d = take_rows(jnp.stack([dmu, dsig], axis=-1), row.ids)  # [N, P, 2]
-    e = e + (x_r * d[..., 0]).sum(-1)
-    t = t + (x_r * x_r * d[..., 1]).sum(-1)
+    # per-position flat gathers from the [2, D] delta table (a [N, P, 2]
+    # temp would be tile-padded 64x on TPU)
+    dtab = jnp.stack([dmu, dsig], axis=0)  # [2, D]
+    for p in range(row.ids.shape[1]):
+        d = jnp.take(dtab, row.ids[:, p], axis=-1)  # [2, N]
+        xp = row.vals[:, p]
+        e = e + xp * d[0]
+        t = t + xp * xp * d[1]
     return e, t, mu_w, sigma_w_dash
 
 
