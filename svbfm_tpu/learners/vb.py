@@ -189,8 +189,11 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
 
     n_loc, P_row = ids.shape
     dtype = mu_t.dtype
-    # budget for per-tile gather temps (elements; ~1 GB f32).  Tiling only
-    # engages beyond ML-1M scale — tiled sweeps require run(chunk=1)
+    # budget for per-tile gather temps in PADDED elements (~1 GB f32):
+    # TPU pads a temp's last two dims to (8, 128), so budgets must count
+    # ceil8/ceil128 sizes.  Tiling only engages beyond ML-1M scale — tiled
+    # sweeps require run(chunk=1) (nested scans miscompile under the fused
+    # iteration scan)
     max_elems = 256 * 1024 * 1024
 
     # --- q/tq/tz build as [F, N] (one flat gather per row position) ---
@@ -239,10 +242,9 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
                 sxe = (x_t * e_g).sum(-1)                             # [Ct]
                 return vm.T, vs.T, sxe                                # [Ct, F]x2
 
-            # tile over columns so the [1+2F, Ct, L] gather temp is bounded;
-            # tiles are unrolled in Python (nested lax.scan inside the
-            # fused-iteration scan miscompiles on TPU)
-            per_col = (1 + 2 * F) * max(L, 128)
+            # tile over columns so the [Ct, L, 1+2F] gather temp is
+            # bounded (padded: L -> ceil8, channels -> ceil128)
+            per_col = (-(-L // 8) * 8) * max(128, -(-(1 + 2 * F) // 128) * 128)
             ct = max(1, -(-(C * per_col) // max_elems))
             if ct == 1:
                 v_mean, v_sig, sxe = tile_stats(blk.rows[0], blk.x[0],
@@ -334,7 +336,7 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
 
         ids_pn = ids.T  # [P, N] (small sublane pad only)
         x_pn = x_r.T
-        rt = max(1, -(-(n_loc * CH) // max_elems))
+        rt = max(1, -(-(n_loc * (-(-CH // 8) * 8)) // max_elems))
         if rt == 1:
             q, tq, tz, e, t = patch_tile(ids_pn, x_pn, q, tq, tz, e, t)
         else:
@@ -666,14 +668,25 @@ class VBLearner:
         return np.asarray(s)[: self.test_n]
 
     def _needs_row_tiling(self) -> bool:
-        """Mirrors the tiling predicate in vb_v_block_update (rt > 1)."""
+        """Mirrors the tiling predicates in vb_v_block_update (rt/ct > 1):
+        when either engages, the sweep contains internal lax.scan tiling
+        and must run one iteration per program."""
         cfg = self.cfg
+        budget = 256 * 1024 * 1024
         K = cfg.num_factor
         F = min(cfg.factor_block, K) if cfg.factor_block > 0 else K
         merge_w = cfg.k1 and cfg.factor_block == 0 and K > 0
         ch = 5 * max(F, 1) + (2 if merge_w else 0)
         n_loc = self.train_row.ids.shape[0] // self.mesh.devices.size
-        return n_loc * ch > 256 * 1024 * 1024
+        if n_loc * (-(-ch // 8) * 8) > budget:
+            return True
+        stats_ch = max(128, -(-(1 + 2 * max(F, 1)) // 128) * 128)
+        for bin_blocks in self.plan.blocks:
+            for blk in bin_blocks:
+                C, L = blk.rows.shape[1:]
+                if C * (-(-L // 8) * 8) * stats_ch > budget:
+                    return True
+        return False
 
     def _place(self, state: VBState) -> VBState:
         """device_put a (possibly host/numpy) state with step shardings."""
