@@ -152,6 +152,10 @@ def vb_w_bin_update(e, t, mu_w, sigma_w_dash, sigma_w, alpha, bin_blocks, row):
     return e, t, mu_w, sigma_w_dash
 
 
+def _nonfinite(x):
+    return jnp.sum(~jnp.isfinite(x), dtype=jnp.int32)
+
+
 def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
                       fmask=None, w_state=None):
     """Coordinate sweep for a *block* of F factors (fm_learn_vb.h:577-644).
@@ -184,6 +188,8 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
     """
     D, F = mu_t.shape
     ids, x_r = row.ids, row.vals
+    nan_v = jnp.zeros((), jnp.int32)
+    nan_w = jnp.zeros((), jnp.int32)
     if w_state is not None:
         mu_w, sig_w_dash, sigma_w = w_state
 
@@ -272,8 +278,10 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
             v_sig = _psum(v_sig)
 
             sigma_new = 1.0 / (sv_g + alpha * v_sig)
+            nan_v = nan_v + _nonfinite(sigma_new)
             sigma_new = keep_finite(sigma_new, sig_c)
             mu_new = sigma_new * alpha * v_mean
+            nan_v = nan_v + _nonfinite(mu_new)
             mu_new = keep_finite(mu_new, mu_c)
             if fmask is not None:  # padded factors: freeze
                 mu_new = jnp.where(fmask, mu_new, mu_c)
@@ -291,9 +299,12 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
                 wsig_c = take_rows(sig_w_dash, blk.cols)
                 sw_g = take_rows(sigma_w, blk.group)
                 sxe = _psum(sxe)
-                wsig_new = keep_finite(1.0 / (sw_g + alpha * blk.sx2), wsig_c)
-                wmu_new = keep_finite(
-                    wsig_new * alpha * (sxe + wmu_c * blk.sx2), wmu_c)
+                wsig_cand = 1.0 / (sw_g + alpha * blk.sx2)
+                wmu_cand = keep_finite(wsig_cand, wsig_c) * alpha * (
+                    sxe + wmu_c * blk.sx2)
+                nan_w = nan_w + _nonfinite(wsig_cand) + _nonfinite(wmu_cand)
+                wsig_new = keep_finite(wsig_cand, wsig_c)
+                wmu_new = keep_finite(wmu_cand, wmu_c)
                 mu_w = mu_w.at[blk.cols].set(wmu_new)
                 sig_w_dash = sig_w_dash.at[blk.cols].set(wsig_new)
                 wdmu_d = wdmu_d.at[blk.cols].set(wmu_c - wmu_new)
@@ -359,9 +370,10 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
                 return full[..., :n_loc]
 
             q, tq, tz, e, t = (unresh(o) for o in outs)
+    nans = dict(v=nan_v, w=nan_w)
     if w_state is not None:
-        return e, t, mu_t, sig_t, (mu_w, sig_w_dash, sigma_w)
-    return e, t, mu_t, sig_t
+        return e, t, mu_t, sig_t, nans, (mu_w, sig_w_dash, sigma_w)
+    return e, t, mu_t, sig_t, nans
 
 
 def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, num_cases: float):
@@ -390,6 +402,8 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
     # otherwise (exact mode / K=0) it runs standalone, reference-ordered.
     K = cfg.num_factor
     merge_w = cfg.k1 and cfg.factor_block == 0 and K > 0
+    nan_w = jnp.zeros((), jnp.int32)
+    nan_v = jnp.zeros((), jnp.int32)
 
     # --- w sweep (fm_learn_vb.h:390-406) ---
     if cfg.k1 and not merge_w:
@@ -430,7 +444,7 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
                 e, t, mu_b.T, sig_b.T, sv_b.T, alpha, plan, row, fmask=m,
                 w_state=w_state)
             e, t, mu_bt, sig_bt = out[:4]
-            return (e, t), (mu_bt.T, sig_bt.T)
+            return (e, t), (mu_bt.T, sig_bt.T, out[4]["v"], out[4]["w"])
 
         xs = (pad_f(mu_v), pad_f(sigma_v_dash),
               pad_f(sv_dk.T))
@@ -451,8 +465,10 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
                 e, t, mu_b.T, sig_b.T, sv_b.T, alpha, plan, row, fmask=m,
                 w_state=w_state)
             e, t, mu_bt, sig_bt = out[:4]
+            nan_v = nan_v + out[4]["v"]
+            nan_w = nan_w + out[4]["w"]
             if merge_w:
-                mu_w, sigma_w_dash, _sw = out[4]
+                mu_w, sigma_w_dash, _sw = out[5]
             mu_vp = mu_bt.T[None]
             sig_vp = sig_bt.T[None]
         else:
@@ -464,7 +480,10 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
                         e, t, mu_w, sigma_w_dash, state.sigma_w, alpha,
                         bin_blocks, row)
                 w_state = None
-            (e, t), (mu_vp, sig_vp) = jax.lax.scan(blk_step, (e, t), xs)
+            (e, t), (mu_vp, sig_vp, nv_b, nw_b) = jax.lax.scan(
+                blk_step, (e, t), xs)
+            nan_v = nan_v + nv_b.sum()
+            nan_w = nan_w + nw_b.sum()
         mu_v = mu_vp.reshape(K_pad, -1)[:K]
         sigma_v_dash = sig_vp.reshape(K_pad, -1)[:K]
 
@@ -480,7 +499,9 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
 
     # --- hyperparameter updates (fm_learn_vb.h:446-498) ---
     alpha_temp = _psum(jnp.sum((e * e + t) * row.valid))
-    alpha = keep_finite(N / alpha_temp, alpha)
+    alpha_cand = N / alpha_temp
+    nan_alpha = _nonfinite(alpha_cand)
+    alpha = keep_finite(alpha_cand, alpha)
     sigma_0 = 1.0 / (mu_0 * mu_0 + sigma_0_dash)
     w_stat = jax.ops.segment_sum(mu_w * mu_w + sigma_w_dash, plan.attr_group,
                                  num_segments=cfg.num_groups)
@@ -503,7 +524,10 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
         mu_0=mu_0, sigma_0_dash=sigma_0_dash, mu_w=mu_w, sigma_w_dash=sigma_w_dash,
         mu_v=mu_v, sigma_v_dash=sigma_v_dash, alpha=alpha, sigma_0=sigma_0,
         sigma_w=sigma_w, sigma_v=sigma_v, e=e, t=t)
-    return new_state, fe
+    # NaN/Inf revert counters — the reference prints "#nans in ..." per
+    # iteration (fm_learn_vb_simultaneous.h:89-118)
+    nans = dict(nan_w=nan_w, nan_v=nan_v, nan_alpha=nan_alpha)
+    return new_state, fe, nans
 
 
 # ---------------------------------------------------------------------------
@@ -556,7 +580,8 @@ class VBLearner:
         num_cases = float(self.train_n)
 
         def step_fn(state, row, plan):
-            return vb_update_all(state, row, plan, cfg, num_cases)
+            state, fe, _nans = vb_update_all(state, row, plan, cfg, num_cases)
+            return state, fe
 
         self._step = jax.jit(jax.shard_map(
             step_fn, mesh=self.mesh,
@@ -581,7 +606,8 @@ class VBLearner:
         """One sweep + in-program test eval (and classification resampling).
         Runs inside shard_map; returns (state, per-iteration metrics)."""
         cfg = self.cfg
-        state, fe = vb_update_all(state, row, plan, cfg, float(self.train_n))
+        state, fe, nans = vb_update_all(state, row, plan, cfg,
+                                        float(self.train_n))
         scores = fm_scores(state.mu_0, state.mu_w, state.mu_v,
                            trow.ids, trow.vals, k0=cfg.k0, k1=cfg.k1)
         nt = jnp.asarray(float(self.test_n), scores.dtype)
@@ -595,7 +621,7 @@ class VBLearner:
                 _psum(jnp.sum(e_c * e_c * row.valid))
                 / jnp.asarray(float(self.train_n), scores.dtype))
             metrics = dict(free_energy=fe, rmse=rmse, mae=mae,
-                           train_rmse=train_rmse)
+                           train_rmse=train_rmse, **nans)
         else:
             prob = ref_cdf_gaussian(scores)
             yt = trow.target
@@ -606,7 +632,7 @@ class VBLearner:
             ll = -_psum(jnp.sum(
                 (m * jnp.log10(pll) + (1 - m) * jnp.log10(1 - pll))
                 * trow.valid)) / nt
-            metrics = dict(free_energy=fe, accuracy=acc, loglik=ll)
+            metrics = dict(free_energy=fe, accuracy=acc, loglik=ll, **nans)
             # probit e-resampling (fm_learn_vb_simultaneous.h:172-200)
             e = state.e
             sampled = jnp.where(row.target >= 0, truncnorm_mean_positive(e),
@@ -742,6 +768,10 @@ class VBLearner:
                     if verbose:
                         print(f"#Iter={it:3d}\tTrain={rec['train_rmse']:.6g}"
                               f"\tTest={rec['rmse']:.6g}")
+                        nw, nv = int(rec.get("nan_w", 0)), int(rec.get("nan_v", 0))
+                        if nw or nv or int(rec.get("nan_alpha", 0)):
+                            print(f"#nans in w: {nw}\t#nans in v: {nv}\t"
+                                  f"#nans in alpha: {int(rec['nan_alpha'])}")
                 else:
                     rmse_file.append(rec["accuracy"])
                     if verbose:
