@@ -94,6 +94,71 @@ def _maybe_sample(do_sample: bool, key, mean, sigma_sqr, old, zero_on_bad_sigma=
     return keep_finite(val, old)
 
 
+def _als_v_blocked(e, v, v_mu, v_lambda, alpha, plan, row, cfg, F):
+    """Deterministic ALS v sweep for blocks of F factors (Jacobi across
+    factors inside each conflict-free bin; exact e/q patches).  Mirrors the
+    channel-stacked scheme of learners.vb.vb_v_block_update with the ALS
+    conditional mean (fm_learn_mcmc.h:780-835 with do_sample=False)."""
+    K, D = v.shape
+    dtype = v.dtype
+    ids, x_r = row.ids, row.vals
+    mu_dk = take_rows(v_mu, plan.attr_group)  # [D, K]
+    lam_dk = take_rows(v_lambda, plan.attr_group)
+    nb = K // F
+
+    def blk_step(e, v_t, mu_t, lam_t):
+        # v_t/mu_t/lam_t: [D, F]
+        q = jnp.zeros((F, x_r.shape[0]), dtype)
+        v_tt = v_t.T  # [F, D]
+        for p in range(ids.shape[1]):
+            q = q + jnp.take(v_tt, ids[:, p], axis=-1) * x_r[:, p][None]
+        for bin_blocks in plan.blocks:
+            v_old_t = v_t
+            dv_d = jnp.zeros((D, F), dtype)
+            eq_t = jnp.concatenate([e[None], q], axis=0)  # [1+F, N]
+            for blk in bin_blocks:
+                C, L = blk.rows[0].shape
+                g = jnp.take(eq_t, blk.rows[0].reshape(-1), axis=-1)
+                g = g.reshape(1 + F, C, L)
+                e_g = g[0]
+                q_g = g[1:]
+                x = blk.x[0][None]  # [1, C, L]
+                v_c = take_rows(v_old_t, blk.cols)  # [C, F]
+                h = x * (q_g - x * v_c.T[:, :, None])
+                she = _psum((h * e_g[None]).sum(-1)).T  # [C, F]
+                sh2 = _psum((h * h).sum(-1)).T
+                mu_g = take_rows(mu_t, blk.cols)
+                lam_g = take_rows(lam_t, blk.cols)
+                v_mean = she - v_c * sh2
+                s2 = 1.0 / (lam_g + alpha * sh2)
+                mean = -s2 * (alpha * v_mean - mu_g * lam_g)
+                mean = jnp.where(jnp.isfinite(s2), mean, 0.0)
+                new_v = keep_finite(mean, v_c)
+                v_t = v_t.at[blk.cols].set(new_v)
+                dv_d = dv_d.at[blk.cols].set(v_c - new_v)
+            # exact per-bin patch (per-position flat gathers)
+            vtab = jnp.concatenate([v_old_t.T, dv_d.T], axis=0)  # [2F, D]
+            for p in range(ids.shape[1]):
+                gg = jnp.take(vtab, ids[:, p], axis=-1)  # [2F, N]
+                xp = x_r[:, p][None]
+                v_e, dv_e = gg[:F], gg[F:]
+                h_e = xp * (q - xp * v_e)
+                q = q - xp * dv_e
+                e = e - (h_e * dv_e).sum(0)
+        return e, v_t
+
+    for b in range(nb):
+        fs = slice(b * F, (b + 1) * F)
+        v_t = v[fs].T  # [D, F]
+        mu_t = mu_dk[:, fs]
+        lam_t = lam_dk[:, fs]
+        e, v_t = blk_step(e, v_t, mu_t, lam_t)
+        # unobserved columns take the prior mean
+        v_new = jnp.where(plan.unobserved[:, None], mu_t, v_t)
+        v = v.at[fs].set(v_new.T)
+    return e, v
+
+
 def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
                   num_cases: float):
     """One Gibbs sweep + full re-predict of the train e-cache.  Runs inside
@@ -211,7 +276,21 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
             v_mu = jnp.full((G, K), mu_0, dtype)
 
         # --- v sweeps, factor-major (fm_learn_mcmc.h:510-622, 780-835) ---
+        # Factor execution: Gibbs keeps the reference's factor-sequential
+        # chain; deterministic ALS (do_sample=False) defaults to the
+        # factor-blocked Jacobi sweep (channel-stacked gathers, O(1) index
+        # passes per bin — same scheme/argument as learners.vb: the e/q
+        # patches remain exact because the FM score is additive over
+        # factors).  cfg.factor_block=1 forces sequential for both.
         D = v.shape[1]
+        F_eff = 1 if (cfg.do_sample or cfg.factor_block == 1) else \
+            (min(cfg.factor_block, K) if cfg.factor_block > 0 else K)
+        if F_eff > 1 and K % F_eff == 0:
+            e, v = _als_v_blocked(e, v, v_mu, v_lambda, alpha, plan, row,
+                                  cfg, F_eff)
+            v_done = True
+        else:
+            v_done = False
 
         def f_step(carry, xs):
             e, key = carry
@@ -261,8 +340,9 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
             v_f = jnp.where(plan.unobserved, new_un, v_f)
             return (e, key), v_f
 
-        (e, key), v = jax.lax.scan(
-            f_step, (e, key), (v, v_mu.T, v_lambda.T))
+        if not v_done:
+            (e, key), v = jax.lax.scan(
+                f_step, (e, key), (v, v_mu.T, v_lambda.T))
 
     # --- full re-predict (fm_learn_mcmc_simultaneous.h:134-176): regression
     # restores e := yhat - y immediately; classification leaves e = yhat for

@@ -30,7 +30,9 @@ def _setup(num_rows=96, num_users=9, num_items=7, K=3, n_dev=1, seed=2,
 
 @pytest.mark.parametrize("n_dev", [1, 4])
 def test_als_matches_serial_oracle(n_dev):
-    tr, te, cfg, meta, mesh = _setup(n_dev=n_dev, regw=0.05, regv=0.05)
+    # factor_block=1 == the reference's factor-sequential sweep
+    tr, te, cfg, meta, mesh = _setup(n_dev=n_dev, regw=0.05, regv=0.05,
+                                     factor_block=1)
     D = cfg.num_attributes
     learner = ALSLearner(cfg, SparseDataset.from_coo(tr, D),
                          SparseDataset.from_coo(te, D), meta, mesh=mesh,
@@ -84,3 +86,23 @@ def test_mcmc_classification():
                           write_files=False)
     state, history = learner.run(num_iter=10, verbose=False)
     assert history[-1]["accuracy"] > 0.6
+
+
+def test_als_blocked_matches_sequential_closely():
+    """Blocked-factor ALS (Jacobi across factors) should converge to the
+    same place as the sequential reference sweep."""
+    import dataclasses
+    tr, te, cfg, meta, mesh = _setup(num_rows=2000, num_users=30, num_items=25,
+                                     K=4, regw=0.1, regv=0.1)
+    D = cfg.num_attributes
+    l_blk = ALSLearner(cfg, SparseDataset.from_coo(tr, D),
+                       SparseDataset.from_coo(te, D), meta, mesh=mesh,
+                       write_files=False)  # factor_block=0 -> blocked
+    l_seq = ALSLearner(dataclasses.replace(cfg, factor_block=1),
+                       SparseDataset.from_coo(tr, D),
+                       SparseDataset.from_coo(te, D), meta, mesh=mesh,
+                       write_files=False)
+    s_b, h_b = l_blk.run(num_iter=12, verbose=False)
+    s_q, h_q = l_seq.run(num_iter=12, verbose=False)
+    assert abs(h_b[-1]["rmse_this"] - h_q[-1]["rmse_this"]) < 0.02
+    assert h_b[-1]["rmse_this"] < 1.0
