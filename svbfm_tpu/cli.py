@@ -308,6 +308,7 @@ def main(argv: Optional[list[str]] = None) -> int:
     rlog.add_field("accuracy")
     rlog.add_field("free_energy")
     rlog.add_field("alpha")
+    rlog.add_field("time_learn")
     rlog.init()
 
     run_kw = {}
@@ -325,7 +326,8 @@ def main(argv: Optional[list[str]] = None) -> int:
             state, history = learner.run(num_iter=cfg.num_iter,
                                          verbose=verbose)
     for rec in history:
-        for key in ("rmse", "mae", "accuracy", "free_energy", "alpha"):
+        for key in ("rmse", "mae", "accuracy", "free_energy", "alpha",
+                    "time_learn"):
             if key in rec:
                 rlog.log(key, rec[key])
         rlog.new_line()

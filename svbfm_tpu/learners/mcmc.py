@@ -561,12 +561,15 @@ class MCMCLearner:
         while done < num_iter:
             n = min(chunk, num_iter - done)
             fn = self._fused_steps(n)
+            import time as _time
+            t0 = _time.perf_counter()
             state, psum_all, psum_but5, it_dev, metrics = fn(
                 state, psum_all, psum_but5, it_dev, self.train_row,
                 self.plan_data, self.test_row)
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            iter_wall = (_time.perf_counter() - t0) / n
             for j in range(n):
-                rec = {"iter": it}
+                rec = {"iter": it, "time_learn": iter_wall}
                 rec.update({k: float(v[j]) for k, v in metrics.items()})
                 if cfg.task == TASK_REGRESSION:
                     rmse_file.append(rec["rmse"])

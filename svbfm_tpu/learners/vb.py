@@ -756,11 +756,14 @@ class VBLearner:
         while done < num_iter:
             n = min(chunk, num_iter - done)
             fn = self._fused_steps(n)
+            import time as _time
+            t0 = _time.perf_counter()
             state, metrics = fn(state, self.train_row, self.plan_data,
                                 self.test_row)
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            iter_wall = (_time.perf_counter() - t0) / n
             for j in range(n):
-                rec = {"iter": it}
+                rec = {"iter": it, "time_learn": iter_wall}
                 rec.update({k: float(v[j]) for k, v in metrics.items()})
                 fe_file.append(-rec["free_energy"])
                 if cfg.task == TASK_REGRESSION:
