@@ -589,15 +589,26 @@ class VBLearner:
             out_specs=(_state_specs(), P()),
         ))
 
+        # chunk the factor axis of the forward passes so [chunk, N] gather
+        # temps stay bounded (~64M elements) at very large N
+        n_rows = self.train_row.ids.shape[0]
+        fc = None
+        if cfg.num_factor > 0 and n_rows * cfg.num_factor > 64 * 1024 * 1024:
+            fc = max(1, (64 * 1024 * 1024) // n_rows)
+            while fc > 1 and cfg.num_factor % fc != 0:
+                fc -= 1
+
         def scores_fn(params, ids, vals):
             mu_0, mu_w, mu_v = params
-            return fm_scores(mu_0, mu_w, mu_v, ids, vals, k0=cfg.k0, k1=cfg.k1)
+            return fm_scores(mu_0, mu_w, mu_v, ids, vals, k0=cfg.k0,
+                             k1=cfg.k1, factor_chunk=fc)
 
         self._scores = jax.jit(scores_fn)
 
         def t_fn(params, ids, vals):
             s0, sw, mv, sv = params
-            return fm_t_terms(s0, sw, mv, sv, ids, vals, k0=cfg.k0, k1=cfg.k1)
+            return fm_t_terms(s0, sw, mv, sv, ids, vals, k0=cfg.k0,
+                              k1=cfg.k1, factor_chunk=fc)
 
         self._tterms = jax.jit(t_fn)
         self._fused_cache = {}
