@@ -181,14 +181,23 @@ def detect_field_bins(coo: COOData, num_features: int) -> Optional[np.ndarray]:
     contiguous id range across rows (classic one-hot field layout), the
     ranges are conflict-free bins.  Returns None when the structure doesn't
     hold; callers then fall back to greedy coloring."""
-    if coo.nnz == 0:
+    if coo.nnz == 0 or coo.nnz % coo.num_rows != 0:
         return None
-    nnz_per_row = np.bincount(coo.row, minlength=coo.num_rows)
-    k = nnz_per_row.max()
-    if k == 0 or (nnz_per_row != k).any():
-        return None
-    order = np.lexsort((coo.col, coo.row))
-    cols = coo.col[order].reshape(coo.num_rows, k)
+    k = coo.nnz // coo.num_rows
+    # fast path: entries already row-major with uniform k and sorted columns
+    # within each row (the common case from our loaders) — skip the lexsort
+    row_view = coo.row.reshape(coo.num_rows, k)
+    if (row_view[:, 0] == row_view[:, -1]).all() and \
+            (row_view[:, 0] == np.arange(coo.num_rows, dtype=row_view.dtype)).all():
+        cols = coo.col.reshape(coo.num_rows, k)
+        if k > 1 and not (np.diff(cols, axis=1) > 0).all():
+            cols = np.sort(cols, axis=1)
+    else:
+        nnz_per_row = np.bincount(coo.row, minlength=coo.num_rows)
+        if (nnz_per_row != k).any():
+            return None
+        order = np.lexsort((coo.col, coo.row))
+        cols = coo.col[order].reshape(coo.num_rows, k)
     # field p covers [max of field p-1 + 1 ... ]; check ranges are disjoint
     lo = cols.min(axis=0)
     hi = cols.max(axis=0)
@@ -257,6 +266,40 @@ class SweepPlan:
             for blk in bucket:
                 return int(blk.rows.shape[0])
         return 1
+
+    def save(self, path: str) -> None:
+        """Persist the plan to one .npz (host preprocessing at 10M+ rows
+        costs minutes; reuse across runs/processes)."""
+        payload = dict(
+            num_bins=self.num_bins, num_features=self.num_features,
+            rows_per_shard=self.rows_per_shard, unobserved=self.unobserved,
+            color=self.color, conflict_free=self.conflict_free,
+            bin_sizes=np.asarray([len(b) for b in self.blocks]))
+        for b, bin_blocks in enumerate(self.blocks):
+            for j, blk in enumerate(bin_blocks):
+                for f in ("rows", "x", "cols", "group", "sx2", "cnt",
+                          "col_count"):
+                    payload[f"blk_{b}_{j}_{f}"] = getattr(blk, f)
+        np.savez(path, **payload)
+
+    @staticmethod
+    def load(path: str) -> "SweepPlan":
+        with np.load(path) as z:
+            bin_sizes = z["bin_sizes"]
+            blocks = []
+            for b, nb in enumerate(bin_sizes):
+                blocks.append([
+                    ColumnBlock(**{f: z[f"blk_{b}_{j}_{f}"]
+                                   for f in ("rows", "x", "cols", "group",
+                                             "sx2", "cnt", "col_count")})
+                    for j in range(int(nb))
+                ])
+            return SweepPlan(
+                blocks=blocks, num_bins=int(z["num_bins"]),
+                num_features=int(z["num_features"]),
+                rows_per_shard=int(z["rows_per_shard"]),
+                unobserved=z["unobserved"], color=z["color"],
+                conflict_free=bool(z["conflict_free"]))
 
     @staticmethod
     def build(

@@ -124,3 +124,23 @@ def test_split():
     tr, te = train_test_split(coo, 0.2, seed=4)
     assert tr.num_rows + te.num_rows == coo.num_rows
     assert tr.num_features == coo.num_features
+
+
+def test_sweep_plan_save_load(tmp_path):
+    coo = make_tiny(num_rows=80, num_users=9, num_items=7)
+    meta = DataMetaInfo(coo.num_features)
+    plan = SweepPlan.build(coo, coo.num_features, meta.attr_group, n_shards=2)
+    p = str(tmp_path / "plan.npz")
+    plan.save(p)
+    back = SweepPlan.load(p)
+    assert back.num_bins == plan.num_bins
+    assert back.rows_per_shard == plan.rows_per_shard
+    assert back.conflict_free == plan.conflict_free
+    np.testing.assert_array_equal(back.color, plan.color)
+    for bb, pb in zip(back.blocks, plan.blocks):
+        assert len(bb) == len(pb)
+        for b1, b2 in zip(bb, pb):
+            np.testing.assert_array_equal(b1.rows, b2.rows)
+            np.testing.assert_allclose(b1.x, b2.x)
+            np.testing.assert_array_equal(b1.cols, b2.cols)
+            np.testing.assert_allclose(b1.sx2, b2.sx2)
