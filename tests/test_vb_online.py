@@ -82,3 +82,24 @@ def test_ovb_sharding_invariance():
     np.testing.assert_allclose(h1[-1]["rmse"], h8[-1]["rmse"], rtol=2e-3)
     np.testing.assert_allclose(np.asarray(s1.mu_v), np.asarray(s8.mu_v),
                                rtol=3e-3, atol=3e-4)
+
+
+def test_ovb_classification():
+    import numpy as np
+    from svbfm_tpu.learners.base import TASK_CLASSIFICATION
+    coo = make_movielens_like(num_users=25, num_items=20, num_ratings=2500,
+                              rank=2, noise=0.4, seed=9)
+    tr, te = train_test_split(coo, 0.2, seed=10)
+    thr = np.median(tr.target)
+    tr.target = np.where(tr.target > thr, 1.0, -1.0).astype(np.float32)
+    te.target = np.where(te.target > thr, 1.0, -1.0).astype(np.float32)
+    D = coo.num_features
+    meta = DataMetaInfo.from_field_offsets(D, [0, 25])
+    cfg = FMConfig(num_attributes=D, num_factor=4, task=TASK_CLASSIFICATION,
+                   min_target=-1.0, max_target=1.0,
+                   num_groups=meta.num_attr_groups, seed=7, num_batches=5)
+    learner = OVBLearner(cfg, SparseDataset.from_coo(tr, D),
+                         SparseDataset.from_coo(te, D), meta,
+                         mesh=make_mesh(2), write_files=False)
+    state, history = learner.run(num_iter=8, verbose=False)
+    assert history[-1]["accuracy"] > 0.6
