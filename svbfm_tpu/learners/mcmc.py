@@ -537,9 +537,12 @@ class MCMCLearner:
         return np.asarray(s)[: self.test_n]
 
     def run(self, state: Optional[MCMCState] = None, num_iter: Optional[int] = None,
-            verbose: bool = True, chunk: Optional[int] = None):
+            verbose: bool = True, chunk: Optional[int] = None,
+            ckpt=None, ckpt_every: int = 10):
         """Run ``num_iter`` Gibbs/ALS iterations with fused on-device eval
-        (posterior-mean prediction accumulators carried across chunks)."""
+        (posterior-mean prediction accumulators carried across chunks).
+        ``ckpt`` (a CheckpointManager) checkpoints the sampler state AND the
+        posterior-mean accumulators, resuming from the latest snapshot."""
         cfg = self.cfg
         if state is None:
             state = self.init_state()
@@ -547,17 +550,33 @@ class MCMCLearner:
         if chunk is None:
             # fixed default chunk => one compiled program shape across runs
             chunk = min(10, num_iter)
-        rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
-                                   self.write_files)
         from jax.sharding import NamedSharding
         shd = NamedSharding(self.mesh, P(DATA_AXIS))
+        rep = NamedSharding(self.mesh, P())
         n_pad = self.test_row.target.shape[0]
         psum_all = jax.device_put(jnp.zeros((n_pad,), jnp.float32), shd)
         psum_but5 = jax.device_put(jnp.zeros((n_pad,), jnp.float32), shd)
         it_dev = jnp.zeros((), jnp.int32)
-        history = []
         it = 0
         done = 0
+        if ckpt is not None:
+            restored = ckpt.restore_latest(
+                {"state": state, "psum_all": psum_all,
+                 "psum_but5": psum_but5})
+            if restored is not None:
+                blob, it, _meta = restored
+                from jax.tree_util import tree_map
+                state_sh = jax.tree.map(lambda spec: NamedSharding(self.mesh, spec),
+                                        _state_specs())
+                state = jax.device_put(blob["state"], state_sh)
+                psum_all = jax.device_put(blob["psum_all"], shd)
+                psum_but5 = jax.device_put(blob["psum_but5"], shd)
+                it_dev = jnp.asarray(it, jnp.int32)
+                done = it
+        rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
+                                   self.write_files and done == 0)
+        history = []
+        last_saved = it
         while done < num_iter:
             n = min(chunk, num_iter - done)
             fn = self._fused_steps(n)

@@ -583,18 +583,30 @@ class OVBLearner:
         return np.asarray(s)[: self.test_n]
 
     def run(self, state: Optional[OVBState] = None,
-            num_iter: Optional[int] = None, verbose: bool = True):
+            num_iter: Optional[int] = None, verbose: bool = True,
+            ckpt=None, ckpt_every: int = 10):
         cfg = self.cfg
         if state is None:
             state = self.init_state()
         num_iter = num_iter if num_iter is not None else cfg.num_iter
+        it0 = 0
+        if ckpt is not None:
+            restored = ckpt.restore_latest(state)
+            if restored is not None:
+                state, it0, _meta = restored
+                rep = NamedSharding(self.mesh, P())
+                state = jax.device_put(
+                    state, jax.tree.map(lambda _: rep, _state_specs()))
+                # replay the epoch-order RNG so resumed runs match
+                for _ in range(it0):
+                    self.rng.permutation(self.num_chunks)
         rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
-                                   self.write_files)
+                                   self.write_files and it0 == 0)
         fe_file = TrajectoryFile("free_energy", cfg, self.method, self.out_dir,
-                                 self.write_files)
+                                 self.write_files and it0 == 0)
         epoch_fn = self._build_epoch()
         history = []
-        for it in range(num_iter):
+        for it in range(it0, num_iter):
             order = jnp.asarray(self.rng.permutation(self.num_chunks)
                                 .astype(np.int32))
             state, fes, m1, m2 = epoch_fn(state, order, self.chunk_row,
@@ -615,6 +627,10 @@ class OVBLearner:
                 if verbose:
                     print(f"#Iter={it:3d}\tTest={rec['accuracy']:.6g}")
             history.append(rec)
+            if ckpt is not None and ((it + 1) % ckpt_every == 0
+                                     or it + 1 >= num_iter):
+                ckpt.save(jax.tree.map(np.asarray, state), it + 1,
+                          {"method": self.method})
         return state, history
 
 
