@@ -184,14 +184,39 @@ def main(argv: Optional[list[str]] = None) -> int:
             return load_coo_binary(path)
         return load_libfm_text(path)
 
-    train = _load(train_file)
+    # deferred train loading for the online methods (libfm.cpp:149-171
+    # never loads the train file for vb_online/sgd_online): with
+    # reference-format binary input the training set streams from disk and
+    # is never fully resident in host RAM or HBM
+    import os as _os
+    from svbfm_tpu.data.binary import has_binary
+    defer_train = (method in ("vb_online", "sgd_online")
+                   and has_binary(train_file) and not cmd.has("relation"))
+    reader = None
+    if defer_train:
+        from svbfm_tpu.data.stream import BinaryChunkReader
+        xp = train_file + (".x" if _os.path.exists(train_file + ".x")
+                           else ".data")
+        yp = train_file + (".y" if _os.path.exists(train_file + ".y")
+                           else ".target")
+        reader = BinaryChunkReader(xp, yp)
+        train = None
+    else:
+        train = _load(train_file)
     test = _load(test_file)
-    D = max(train.num_features, test.num_features)
+    D = max(reader.num_cols if defer_train else train.num_features,
+            test.num_features)
 
     if task == TASK_CLASSIFICATION:  # libfm.cpp:337-350
-        train.target = np.where(train.target > 0, 1.0, -1.0).astype(np.float32)
+        if train is not None:
+            train.target = np.where(train.target > 0, 1.0, -1.0).astype(np.float32)
         test.target = np.where(test.target > 0, 1.0, -1.0).astype(np.float32)
         min_t, max_t = -1.0, 1.0
+    elif defer_train:
+        # targets vector is small (4 bytes/row); dims via the binary header
+        # replace the reference's find_max_feature text scan
+        min_t = float(reader.targets.min())
+        max_t = float(reader.targets.max())
     else:
         min_t = float(train.target.min())
         max_t = float(train.target.max())
@@ -250,7 +275,7 @@ def main(argv: Optional[list[str]] = None) -> int:
     bins = cmd.get_str("bins", "auto")
     verbose = True
 
-    tr_ds = SparseDataset.from_coo(train, D)
+    tr_ds = SparseDataset.from_coo(train, D) if train is not None else None
     te_ds = SparseDataset.from_coo(test, D)
 
     rlog = RLog(cmd.get_str("rlog") or None)
@@ -265,13 +290,20 @@ def main(argv: Optional[list[str]] = None) -> int:
         learner = VBLearner(cfg, tr_ds, te_ds, meta, bins=bins)
     elif method == "vb_online":
         from svbfm_tpu.learners.vb_online import OVBLearner
-        learner = OVBLearner(cfg, tr_ds, te_ds, meta, bins=bins)
+        if defer_train:
+            learner = OVBLearner.from_reader(cfg, reader, te_ds, meta,
+                                             bins=bins)
+        else:
+            learner = OVBLearner(cfg, tr_ds, te_ds, meta, bins=bins)
     elif method == "sgd":
         from svbfm_tpu.learners.sgd import SGDLearner
         learner = SGDLearner(cfg, tr_ds, te_ds, meta)
     elif method == "sgd_online":
         from svbfm_tpu.learners.sgd import SGDOnlineLearner
-        learner = SGDOnlineLearner(cfg, tr_ds, te_ds, meta)
+        if defer_train:
+            learner = SGDOnlineLearner.from_reader(cfg, reader, te_ds, meta)
+        else:
+            learner = SGDOnlineLearner(cfg, tr_ds, te_ds, meta)
     elif method == "sgda":
         from svbfm_tpu.learners.sgd import SGDALearner
         val_file = cmd.get_str("validation")
@@ -318,13 +350,8 @@ def main(argv: Optional[list[str]] = None) -> int:
         run_kw["ckpt_every"] = cmd.get_int("checkpoint_every", 10)
     from svbfm_tpu.utils.profiling import trace
     with trace(cmd.get_str("profile") or None):
-        try:
-            state, history = learner.run(num_iter=cfg.num_iter,
-                                         verbose=verbose, **run_kw)
-        except TypeError:
-            # learners without checkpoint support yet
-            state, history = learner.run(num_iter=cfg.num_iter,
-                                         verbose=verbose)
+        state, history = learner.run(num_iter=cfg.num_iter,
+                                     verbose=verbose, **run_kw)
     for rec in history:
         for key in ("rmse", "mae", "accuracy", "free_energy", "alpha",
                     "time_learn"):
@@ -333,13 +360,29 @@ def main(argv: Optional[list[str]] = None) -> int:
         rlog.new_line()
     rlog.close()
 
-    # final evaluation + -out predictions (libfm.cpp:508-519)
+    # final evaluation + -out predictions (libfm.cpp:508-519).  Sampling
+    # MCMC uses the posterior-mean accumulator via final_test_predictions
+    # (reference predict(), fm_learn_mcmc.h:355-379); the probit methods
+    # (vb/mcmc/vb_online) output cdf_gaussian probabilities clamped to
+    # [0,1], the SGD family sigmoid (matching each learner's likelihood).
     scores = learner.predict_test_scores(state)
-    nec = cmd.get_int("num_eval_cases", 0) or None
-    if nec:
-        scores_eval, target_eval = scores[:nec], test.target[:nec]
+    final_fn = getattr(learner, "final_test_predictions", None)
+    if task == TASK_REGRESSION:
+        out_vals = (final_fn(state) if final_fn is not None
+                    else np.clip(scores, min_t, max_t))
+        out_vals = np.clip(out_vals, min_t, max_t)
+    elif final_fn is not None:  # sampling MCMC: already probabilities
+        out_vals = final_fn(state)
+    elif method in ("vb", "vb_online"):
+        from svbfm_tpu.learners.base import ref_cdf_gaussian
+        import jax.numpy as _jnp
+        out_vals = np.clip(
+            np.asarray(ref_cdf_gaussian(_jnp.asarray(scores))), 0.0, 1.0)
     else:
-        scores_eval, target_eval = scores, test.target
+        out_vals = 1.0 / (1.0 + np.exp(-np.asarray(scores, np.float64)))
+    nec = cmd.get_int("num_eval_cases", 0) or None
+    vals_eval = out_vals[:nec] if nec else out_vals
+    target_eval = test.target[:nec] if nec else test.target
     if cmd.has("map_eval"):
         from svbfm_tpu.learners.base import load_map_fixture, map_at_k
         u, i, pos = load_map_fixture(cmd.get_str("map_eval"),
@@ -347,15 +390,11 @@ def main(argv: Optional[list[str]] = None) -> int:
         mk = cmd.get_int("map_k", 5)
         print(f"MAP@{mk}\t{map_at_k(scores, u, i, pos, k=mk):.6g}")
     if task == TASK_REGRESSION:
-        p = np.clip(scores_eval, min_t, max_t)
-        rmse = float(np.sqrt(np.mean((p - target_eval) ** 2)))
+        rmse = float(np.sqrt(np.mean((vals_eval - target_eval) ** 2)))
         print(f"Final\tTest={rmse:.6g}")
-        out_vals = np.clip(scores, min_t, max_t)
     else:
-        prob = 1.0 / (1.0 + np.exp(-np.asarray(scores, np.float64)))
-        acc = float(np.mean((scores_eval >= 0) == (target_eval > 0)))
+        acc = float(np.mean((vals_eval >= 0.5) == (target_eval > 0)))
         print(f"Final\tTest={acc:.6g}")
-        out_vals = prob
     if cmd.has("out"):
         with open(cmd.get_str("out"), "w") as f:
             for v in out_vals:

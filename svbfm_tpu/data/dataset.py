@@ -109,8 +109,10 @@ class SparseDataset:
         return np.bincount(self.ids[mask].ravel(), minlength=self.num_features).astype(np.int32)
 
     def padded_to(self, n_shards: int) -> "SparseDataset":
-        """Pad row count to a multiple of n_shards (for data-axis sharding)."""
-        N_pad = _ceil_to(max(self.num_rows, 1), n_shards)
+        """Pad row count to a multiple of n_shards (for data-axis sharding).
+        Never shrinks: an already over-padded dataset (e.g. streaming chunks
+        padded to a common shape) keeps its row count."""
+        N_pad = _ceil_to(max(self.num_rows, self.ids.shape[0], 1), n_shards)
         if N_pad == self.ids.shape[0]:
             return self
         def pad(a, n):
@@ -187,7 +189,9 @@ def detect_field_bins(coo: COOData, num_features: int) -> Optional[np.ndarray]:
     # fast path: entries already row-major with uniform k and sorted columns
     # within each row (the common case from our loaders) — skip the lexsort
     row_view = coo.row.reshape(coo.num_rows, k)
-    if (row_view[:, 0] == row_view[:, -1]).all() and \
+    # a chunk is row-major only if ALL k entries carry the same row id (the
+    # first/last check alone accepts interleaved non-row-major COO layouts)
+    if (row_view == row_view[:, :1]).all() and \
             (row_view[:, 0] == np.arange(coo.num_rows, dtype=row_view.dtype)).all():
         cols = coo.col.reshape(coo.num_rows, k)
         if k > 1 and not (np.diff(cols, axis=1) > 0).all():

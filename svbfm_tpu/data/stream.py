@@ -38,17 +38,12 @@ class BinaryChunkReader:
                 _HEADER.unpack(hdr)
             if fid != FMATRIX_FILE_ID or fsize != 4:
                 raise ValueError(f"{x_path}: bad header")
-            # index pass: row byte offsets
-            self.row_offsets = np.empty(self.num_rows + 1, dtype=np.int64)
-            off = _HEADER.size
-            self.row_sizes = np.empty(self.num_rows, dtype=np.int64)
-            for r in range(self.num_rows):
-                self.row_offsets[r] = off
-                f.seek(off)
-                (k,) = struct.unpack("<I", f.read(4))
-                self.row_sizes[r] = k
-                off += 4 + 8 * k
-            self.row_offsets[self.num_rows] = off
+        # index pass: row byte offsets (C fast path streams the file once;
+        # the Python fallback reads sequentially in large buffers)
+        self.row_offsets = np.empty(self.num_rows + 1, dtype=np.int64)
+        self.row_sizes = np.empty(self.num_rows, dtype=np.int64)
+        if not self._index_scan_c():
+            self._index_scan_py()
         self.targets = None
         if y_path is not None and os.path.exists(y_path):
             with open(y_path, "rb") as f:
@@ -58,8 +53,55 @@ class BinaryChunkReader:
                 self.targets = np.frombuffer(f.read(dim * 4), dtype="<f4")
             assert len(self.targets) == self.num_rows
 
+    def _index_scan_c(self) -> bool:
+        import ctypes
+        import os
+        here = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        so = os.path.join(here, "tools", "libfm_parse.so")
+        if not os.path.exists(so):
+            return False
+        try:
+            lib = ctypes.CDLL(so)
+            fn = lib.sparse_index_scan
+        except (OSError, AttributeError):
+            return False
+        fn.restype = ctypes.c_int
+        rc = fn(self.x_path.encode(), ctypes.c_longlong(_HEADER.size),
+                ctypes.c_longlong(self.num_rows),
+                self.row_offsets.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_longlong)),
+                self.row_sizes.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_longlong)))
+        return rc == 0
+
+    def _index_scan_py(self) -> None:
+        off = _HEADER.size
+        buf_size = 1 << 24
+        with open(self.x_path, "rb") as f:
+            f.seek(off)
+            buf = f.read(buf_size)
+            base = off  # file offset of buf[0]
+            pos = 0
+            for r in range(self.num_rows):
+                if pos + 4 > len(buf):
+                    base += pos
+                    f.seek(base)
+                    buf = f.read(buf_size)
+                    pos = 0
+                (k,) = struct.unpack_from("<I", buf, pos)
+                self.row_offsets[r] = base + pos
+                self.row_sizes[r] = k
+                pos += 4 + 8 * k
+        self.row_offsets[self.num_rows] = (
+            self.row_offsets[self.num_rows - 1]
+            + 4 + 8 * self.row_sizes[self.num_rows - 1]
+            if self.num_rows else _HEADER.size)
+
     def read_rows(self, lo: int, hi: int) -> COOData:
-        """Rows [lo, hi) as a COOData with rows renumbered from 0."""
+        """Rows [lo, hi) as a COOData with rows renumbered from 0.
+        Vectorized: per-entry byte offsets are computed from the row index
+        and the (id, value) records are gathered in one fancy-index pass."""
         lo, hi = int(lo), int(hi)
         with open(self.x_path, "rb") as f:
             f.seek(self.row_offsets[lo])
@@ -68,20 +110,16 @@ class BinaryChunkReader:
         sizes = self.row_sizes[lo:hi]
         nnz = int(sizes.sum())
         row = np.repeat(np.arange(n, dtype=np.int32), sizes)
-        col = np.empty(nnz, dtype=np.int32)
-        val = np.empty(nnz, dtype=np.float32)
-        off = 0
-        at = 0
-        rec_dt = np.dtype([("id", "<u4"), ("value", "<f4")])
-        for k in sizes:
-            k = int(k)
-            off += 4
-            if k:
-                rec = np.frombuffer(buf, dtype=rec_dt, count=k, offset=off)
-                col[at:at + k] = rec["id"]
-                val[at:at + k] = rec["value"]
-                off += 8 * k
-                at += k
+        # within-row record positions
+        ptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(sizes, out=ptr[1:])
+        pos = np.arange(nnz, dtype=np.int64) - np.repeat(ptr[:-1], sizes)
+        starts = self.row_offsets[lo:hi] - self.row_offsets[lo] + 4  # [n]
+        entry_off = np.repeat(starts, sizes) + 8 * pos  # [nnz] byte offsets
+        b = np.frombuffer(buf, dtype=np.uint8)
+        rec = b[entry_off[:, None] + np.arange(8)]  # [nnz, 8]
+        col = rec[:, :4].copy().view("<u4").ravel().astype(np.int32)
+        val = rec[:, 4:].copy().view("<f4").ravel().astype(np.float32)
         target = (self.targets[lo:hi].astype(np.float32)
                   if self.targets is not None else np.zeros(n, np.float32))
         return COOData(row=row, col=col, val=val, target=target,

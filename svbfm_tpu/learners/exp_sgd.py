@@ -221,15 +221,24 @@ class ExpSGDLearner:
         s = self._scores(w0, w, v, self.test_row.ids, self.test_row.vals)
         return np.asarray(s)[: self.test_n]
 
-    def run(self, state=None, num_iter: Optional[int] = None, verbose=True):
+    def run(self, state=None, num_iter: Optional[int] = None, verbose=True,
+            ckpt=None, ckpt_every: int = 10):
         cfg = self.cfg
         if state is None:
             state = self.init_state()
         num_iter = num_iter if num_iter is not None else cfg.num_iter
+        it0 = 0
+        if ckpt is not None:
+            restored = ckpt.restore_latest(state)
+            if restored is not None:
+                blob, it0, _meta = restored
+                from jax.sharding import NamedSharding, PartitionSpec as PS
+                rep = NamedSharding(self.mesh, PS())
+                state = jax.device_put(blob, jax.tree.map(lambda _: rep, blob))
         rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
-                                   self.write_files)
+                                   self.write_files and it0 == 0)
         history = []
-        for it in range(num_iter):
+        for it in range(it0, num_iter):
             state, rmse = self._step(state, self.train_row, self.plan_data,
                                      self.test_row)
             rmse = float(rmse)
@@ -237,6 +246,10 @@ class ExpSGDLearner:
             history.append({"iter": it, "rmse": rmse})
             if verbose:
                 print(f"#Iter={it:3d}\tTest={rmse:.6g}")
+            if ckpt is not None and ((it + 1 - it0) % ckpt_every == 0
+                                     or it + 1 >= num_iter):
+                ckpt.save(jax.tree.map(np.asarray, state), it + 1,
+                          {"method": self.method})
         return state, history
 
 

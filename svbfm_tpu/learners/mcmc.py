@@ -602,7 +602,34 @@ class MCMCLearner:
                 history.append(rec)
                 it += 1
             done += n
+            if ckpt is not None and (it - last_saved >= ckpt_every
+                                     or done >= num_iter):
+                ckpt.save({"state": jax.tree.map(np.asarray, state),
+                           "psum_all": np.asarray(psum_all),
+                           "psum_but5": np.asarray(psum_but5)},
+                          it, {"method": self.method})
+                last_saved = it
+        # posterior-mean predictor state: the reference's predict() returns
+        # pred_sum_all/num_iter when sampling (fm_learn_mcmc.h:355-379)
+        self._pred_sum_all = np.asarray(psum_all)[: self.test_n]
+        self._pred_iters = it
         return state, history
+
+    def final_test_predictions(self, state: MCMCState) -> np.ndarray:
+        """Final test predictions in OUTPUT space, with reference predict()
+        semantics: the posterior-mean accumulator pred_sum_all/num_iter when
+        sampling (fm_learn_mcmc.h:355-379); last-state scores for ALS.
+        Regression values are clamped to [min,max]; classification values
+        are probit probabilities in [0, 1]."""
+        if self.cfg.do_sample and getattr(self, "_pred_iters", 0) > 0:
+            pm = self._pred_sum_all / float(self._pred_iters)
+        else:
+            pm = self.predict_test_scores(state)
+            if self.cfg.task != TASK_REGRESSION:
+                pm = np.asarray(ref_cdf_gaussian(jnp.asarray(pm)))
+        if self.cfg.task == TASK_REGRESSION:
+            return np.clip(pm, self.cfg.min_target, self.cfg.max_target)
+        return np.clip(pm, 0.0, 1.0)
 
 
 class ALSLearner(MCMCLearner):

@@ -377,18 +377,49 @@ class SGDLearner:
                 print(f"#Iter={it:3d}\tTest={acc:.6g}")
         history.append(rec)
 
-    def run(self, state=None, num_iter: Optional[int] = None, verbose: bool = True):
+    def _state_shardings(self, state):
+        """Replicated placement for restored states (grad caches sharded in
+        SGDA's override)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        return jax.tree.map(lambda _: rep, state)
+
+    def _ckpt_restore(self, ckpt, state):
+        """Returns (state, start_iter); replays nothing by default."""
+        restored = ckpt.restore_latest(state)
+        if restored is None:
+            return state, 0
+        blob, it0, _meta = restored
+        return jax.device_put(blob, self._state_shardings(blob)), it0
+
+    def _replay_rng(self, epochs: int) -> None:
+        """Advance any host-side RNG used per epoch (overridden by the
+        streaming learner) so resumed runs reproduce uninterrupted ones."""
+
+    def run(self, state=None, num_iter: Optional[int] = None, verbose: bool = True,
+            ckpt=None, ckpt_every: int = 10):
         cfg = self.cfg
         if state is None:
             state = self.init_state()
         num_iter = num_iter if num_iter is not None else cfg.num_iter
+        it0 = 0
+        if ckpt is not None:
+            state, it0 = self._ckpt_restore(ckpt, state)
+            self._replay_rng(it0)
         rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
-                                   self.write_files)
+                                   self.write_files and it0 == 0)
         history = []
-        for it in range(num_iter):
-            state = self._epoch(state, self.train_row)
+        for it in range(it0, num_iter):
+            state = self._run_epoch(state, it)
             self._eval_iter(state, it, rmse_file, history, verbose)
+            if ckpt is not None and ((it + 1 - it0) % ckpt_every == 0
+                                     or it + 1 >= num_iter):
+                ckpt.save(jax.tree.map(np.asarray, state), it + 1,
+                          {"method": self.method})
         return state, history
+
+    def _run_epoch(self, state, it: int):
+        return self._epoch(state, self.train_row)
 
 
 class SGDALearner(SGDLearner):
@@ -440,19 +471,17 @@ class SGDALearner(SGDLearner):
             grad_w=jnp.zeros((self.mesh.devices.size, D), jnp.float32),
             grad_v=jnp.zeros((self.mesh.devices.size, K, D), jnp.float32))
 
-    def run(self, state=None, num_iter: Optional[int] = None, verbose: bool = True):
-        cfg = self.cfg
-        if state is None:
-            state = self.init_state()
-        num_iter = num_iter if num_iter is not None else cfg.num_iter
-        rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
-                                   self.write_files)
-        history = []
-        for it in range(num_iter):
-            epoch = self._epoch_warm if it == 0 else self._epoch_full
-            state = epoch(state, self.train_row, self.val_row)
-            self._eval_iter(state, it, rmse_file, history, verbose)
-        return state, history
+    def _state_shardings(self, state):
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+        rep = NamedSharding(self.mesh, PS())
+        shd = NamedSharding(self.mesh, PS(DATA_AXIS))
+        sh = jax.tree.map(lambda _: rep, state)
+        return sh.replace(grad_w=shd, grad_v=shd)
+
+    def _run_epoch(self, state, it: int):
+        # iter 0 skips the lambda steps (adapt_reg.h warm-up)
+        epoch = self._epoch_warm if it == 0 else self._epoch_full
+        return epoch(state, self.train_row, self.val_row)
 
 
 class SGDOnlineLearner(SGDLearner):
@@ -500,7 +529,11 @@ class SGDOnlineLearner(SGDLearner):
         if getattr(self, "reader", None) is not None:
             from svbfm_tpu.data.stream import stream_chunks
             order = self.rng.permutation(min(nb, self.reader.num_rows))
-            yield from stream_chunks(self.reader, len(order), order=order)
+            for ds in stream_chunks(self.reader, len(order), order=order):
+                if self.cfg.task == TASK_CLASSIFICATION:  # libfm.cpp:337-350
+                    ds.target = np.where(ds.target > 0, 1.0, -1.0).astype(
+                        np.float32)
+                yield ds
             return
         ds = self.train_ds
         n = ds.num_rows
@@ -512,22 +545,24 @@ class SGDOnlineLearner(SGDLearner):
                 min_target=ds.min_target, max_target=ds.max_target,
                 row_nnz=ds.row_nnz[part])
 
-    def run(self, state=None, num_iter: Optional[int] = None, verbose: bool = True):
+    def _replay_rng(self, epochs: int) -> None:
+        """Replay the per-epoch chunk-order permutations consumed by
+        completed epochs so a resumed run matches an uninterrupted one."""
+        nb = max(1, self.cfg.num_batches)
+        for _ in range(epochs):
+            if getattr(self, "reader", None) is not None:
+                self.rng.permutation(min(nb, self.reader.num_rows))
+            else:
+                self.rng.permutation(self.train_ds.num_rows)
+
+    def _run_epoch(self, state, it: int):
         cfg = self.cfg
-        if state is None:
-            state = self.init_state()
-        num_iter = num_iter if num_iter is not None else cfg.num_iter
-        rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
-                                   self.write_files)
-        history = []
         # one compiled epoch fn per chunk shape (chunks padded to equal size)
-        for it in range(num_iter):
-            for chunk in self._chunks():
-                row, _n = build_row_data(self.mesh, chunk)
-                nb = max(1, row.ids.shape[0] // max(1, (cfg.batch_size or 1024)))
-                state = self._chunk_epoch(nb, row.ids.shape[1])(state, row)
-            self._eval_iter(state, it, rmse_file, history, verbose)
-        return state, history
+        for chunk in self._chunks():
+            row, _n = build_row_data(self.mesh, chunk)
+            nb = max(1, row.ids.shape[0] // max(1, (cfg.batch_size or 1024)))
+            state = self._chunk_epoch(nb, row.ids.shape[1])(state, row)
+        return state
 
     def _chunk_epoch(self, nb: int, pad: int):
         key = (nb, pad)

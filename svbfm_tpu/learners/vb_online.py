@@ -75,6 +75,10 @@ T0_WJ = 1.0
 T0_VJ = 1.0
 
 
+def _ceil_to_multiple(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 @struct.dataclass
 class OVBState:
     # primal variational parameters
@@ -508,6 +512,237 @@ class OVBLearner:
         self.write_files = write_files
         self.rng = np.random.default_rng(cfg.seed + 1)
         self._epoch_fn = None
+        self.streaming = False
+
+    @classmethod
+    def from_reader(cls, cfg: FMConfig, reader, test: SparseDataset,
+                    meta: Optional[DataMetaInfo] = None, mesh=None,
+                    bins: str = "auto", out_dir: str = ".",
+                    write_files: bool = True, cache_dir: Optional[str] = None):
+        """Out-of-core construction from a BinaryChunkReader.
+
+        This is the capability the reference's OVBFM exists for
+        (``fm_learn_vb_online_simultaneous.h:76-157`` disk-chunked epochs;
+        ``libfm.cpp:149-171`` defers train loading entirely): the training
+        set never resides in host RAM or HBM in full.  Chunk membership is
+        the reader's contiguous row windows with the *order* reshuffled per
+        epoch (the same documented deviation as the in-memory path's fixed
+        membership).  One streaming pass at construction builds each
+        chunk's sweep plan and caches it on disk; every training step then
+        ships exactly ONE chunk (rows + plan, shapes padded to a common
+        spec so a single compiled program serves all chunks) to the device.
+        """
+        import dataclasses
+        import os
+        import tempfile
+        if cfg.factor_block == 0:  # see the stability note in __init__
+            cfg = dataclasses.replace(cfg, factor_block=1)
+        self = cls.__new__(cls)
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_dev = self.mesh.devices.size
+        meta = meta if meta is not None else DataMetaInfo(cfg.num_attributes)
+        self.meta = meta
+        D = cfg.num_attributes
+        self.reader = reader
+        self.train_n = reader.num_rows
+        self.col_count = reader.col_count()
+        nb = max(1, min(cfg.num_batches, reader.num_rows))
+        self.num_chunks = nb
+        bounds = np.linspace(0, reader.num_rows, nb + 1).astype(np.int64)
+        self.chunk_bounds = bounds
+        self.chunk_sizes = (bounds[1:] - bounds[:-1]).astype(np.int64)
+        n_chunk = int(self.chunk_sizes.max()) if nb else 1
+        self.n_chunk = _ceil_to_multiple(max(n_chunk, 1), n_dev)
+        self.rows_per_shard = self.n_chunk // n_dev
+        self.row_pad = max(1, int(reader.row_sizes.max()) if reader.num_rows else 1)
+        if cache_dir is None:
+            cache_dir = tempfile.mkdtemp(prefix="svbfm_ovb_plans_")
+        self.plan_cache_dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+        # pass 1 (streaming): build + disk-cache per-chunk sweep plans,
+        # folding the union (bin, L, Cmax) shape spec as we go — host RAM
+        # holds one chunk at a time
+        summaries = []
+        for ci in range(nb):
+            coo = reader.read_rows(bounds[ci], bounds[ci + 1])
+            plan = SweepPlan.build(coo, D, meta_groups=meta.attr_group,
+                                   bins=bins, n_shards=n_dev,
+                                   col_count=self.col_count,
+                                   n_rows_total=self.n_chunk)
+            plan.save(os.path.join(cache_dir, f"plan_{ci}.npz"))
+            summaries.append([{blk.rows.shape[2]: blk.cols.shape[0]
+                               for blk in bin_blocks}
+                              for bin_blocks in plan.blocks])
+        self.bin_specs = _plan_shape_spec(summaries)
+
+        self.test_row, self.test_n = build_row_data(self.mesh, test)
+        self.test_target_np = np.asarray(test.target[: test.num_rows])
+        self.attr_group = put_replicated(self.mesh, meta.attr_group)
+        self.num_attr_per_group = put_replicated(
+            self.mesh, meta.num_attr_per_group.astype(np.float32))
+        self.out_dir = out_dir
+        self.write_files = write_files
+        self.rng = np.random.default_rng(cfg.seed + 1)
+        self._epoch_fn = None
+        self._chunk_step_fn = None
+        self._eval_jit = None
+        self.streaming = True
+        return self
+
+    # ---- streaming helpers -------------------------------------------------
+
+    def _read_chunk(self, ci: int) -> SparseDataset:
+        """One chunk as a SparseDataset padded to the common [n_chunk,
+        row_pad] shape (all chunks share one compiled program)."""
+        lo, hi = self.chunk_bounds[ci], self.chunk_bounds[ci + 1]
+        coo = self.reader.read_rows(lo, hi)
+        if self.cfg.task == TASK_CLASSIFICATION:  # libfm.cpp:337-350
+            coo.target = np.where(coo.target > 0, 1.0, -1.0).astype(np.float32)
+        ds = SparseDataset.from_coo(coo, self.cfg.num_attributes)
+        P_, N_ = self.row_pad, self.n_chunk
+        pad_c = P_ - ds.ids.shape[1]
+        pad_r = N_ - ds.ids.shape[0]
+        if pad_c or pad_r:
+            ds = SparseDataset(
+                ids=np.pad(ds.ids, ((0, pad_r), (0, pad_c))),
+                vals=np.pad(ds.vals, ((0, pad_r), (0, pad_c))),
+                target=np.pad(ds.target, (0, pad_r)),
+                num_rows=ds.num_rows, num_features=ds.num_features,
+                min_target=ds.min_target, max_target=ds.max_target,
+                row_nnz=np.pad(ds.row_nnz, (0, pad_r)))
+        return ds
+
+    def _chunk_device_data(self, ci: int):
+        """Ship one chunk (rows + aligned plan) to the device."""
+        import os
+        row, _n = build_row_data(self.mesh, self._read_chunk(ci))
+        plan = SweepPlan.load(
+            os.path.join(self.plan_cache_dir, f"plan_{ci}.npz"))
+        aligned = _align_plan(plan, self.bin_specs, self.cfg.num_attributes,
+                              self.mesh.devices.size, self.rows_per_shard)
+        blocks = tuple(
+            tuple(BlockData(
+                rows=shard_rows(self.mesh, bk["rows"]),
+                x=shard_rows(self.mesh, bk["x"]),
+                cols=put_replicated(self.mesh, bk["cols"]),
+                group=put_replicated(self.mesh, bk["group"]),
+                sx2=put_replicated(self.mesh, bk["sx2"]),
+                cnt=put_replicated(self.mesh, bk["cnt"]),
+                col_count=put_replicated(self.mesh, bk["col_count"]))
+                  for bk in bin_list)
+            for bin_list in aligned)
+        return row, blocks
+
+    def _build_chunk_step(self):
+        if self._chunk_step_fn is not None:
+            return self._chunk_step_fn
+        cfg = self.cfg
+        n_full = float(self.train_n)
+        attr_group = self.attr_group
+        napg = self.num_attr_per_group
+        shd, rep = P(DATA_AXIS), P()
+        block_specs = tuple(
+            tuple(BlockData(rows=shd, x=shd, cols=rep, group=rep, sx2=rep,
+                            cnt=rep, col_count=rep) for _ in spec)
+            for spec in self.bin_specs)
+
+        def step(state, row, blocks, n_chunk):
+            return ovb_chunk_update(state, row, blocks, cfg, n_full, n_chunk,
+                                    attr_group, napg)
+
+        self._chunk_step_fn = jax.jit(jax.shard_map(
+            step, mesh=self.mesh,
+            in_specs=(_state_specs(), _row_specs(False), block_specs, rep),
+            out_specs=(_state_specs(), rep)))
+        return self._chunk_step_fn
+
+    def _build_eval(self):
+        if getattr(self, "_eval_jit", None) is not None:
+            return self._eval_jit
+        cfg = self.cfg
+        nt = float(self.test_n)
+
+        def ev(state, trow):
+            scores = fm_scores(state.mu_0, state.mu_w, state.mu_v,
+                               trow.ids, trow.vals, k0=cfg.k0, k1=cfg.k1)
+            ntf = jnp.asarray(nt, scores.dtype)
+            if cfg.task == TASK_REGRESSION:
+                p = jnp.clip(scores, cfg.min_target, cfg.max_target)
+                err = (p - trow.target) * trow.valid
+                m1 = jnp.sqrt(_psum(jnp.sum(err * err)) / ntf)
+                m2 = _psum(jnp.sum(jnp.abs(err))) / ntf
+            else:
+                prob = ref_cdf_gaussian(scores)
+                yt = trow.target
+                hit = (((prob >= 0.5) & (yt > 0)) | ((prob < 0.5) & (yt < 0)))
+                m1 = _psum(jnp.sum(hit * trow.valid)) / ntf
+                pll = jnp.clip(prob, 0.01, 0.99)
+                mm = (yt + 1.0) * 0.5
+                m2 = -_psum(jnp.sum((mm * jnp.log10(pll)
+                                     + (1 - mm) * jnp.log10(1 - pll))
+                                    * trow.valid)) / ntf
+            return m1, m2
+
+        self._eval_jit = jax.jit(jax.shard_map(
+            ev, mesh=self.mesh,
+            in_specs=(_state_specs(), _row_specs(False)),
+            out_specs=(P(), P())))
+        return self._eval_jit
+
+    def _run_streaming(self, state, num_iter, verbose, ckpt, ckpt_every):
+        cfg = self.cfg
+        if state is None:
+            state = self.init_state()
+        num_iter = num_iter if num_iter is not None else cfg.num_iter
+        it0 = 0
+        if ckpt is not None:
+            restored = ckpt.restore_latest(state)
+            if restored is not None:
+                state, it0, _meta = restored
+                rep = NamedSharding(self.mesh, P())
+                state = jax.device_put(
+                    state, jax.tree.map(lambda _: rep, _state_specs()))
+                for _ in range(it0):  # replay epoch-order RNG
+                    self.rng.permutation(self.num_chunks)
+        rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
+                                   self.write_files and it0 == 0)
+        fe_file = TrajectoryFile("free_energy", cfg, self.method, self.out_dir,
+                                 self.write_files and it0 == 0)
+        step_fn = self._build_chunk_step()
+        eval_fn = self._build_eval()
+        history = []
+        for it in range(it0, num_iter):
+            order = self.rng.permutation(self.num_chunks)
+            fes = []
+            for ci in order:
+                row, blocks = self._chunk_device_data(int(ci))
+                state, fe = step_fn(state, row, blocks,
+                                    jnp.asarray(float(self.chunk_sizes[ci]),
+                                                jnp.float32))
+                fes.append(fe)
+            fes = [float(np.asarray(f)) for f in fes]
+            m1, m2 = eval_fn(state, self.test_row)
+            # reference: free energy appended for first and last chunk
+            fe_file.append(-fes[0])
+            fe_file.append(-fes[-1])
+            rec = {"iter": it, "free_energy": fes[-1]}
+            if cfg.task == TASK_REGRESSION:
+                rec.update(rmse=float(m1), mae=float(m2))
+                rmse_file.append(rec["rmse"])
+                if verbose:
+                    print(f"#Iter={it:3d}\tTest={rec['rmse']:.6g}")
+            else:
+                rec.update(accuracy=float(m1), loglik=float(m2))
+                rmse_file.append(rec["accuracy"])
+                if verbose:
+                    print(f"#Iter={it:3d}\tTest={rec['accuracy']:.6g}")
+            history.append(rec)
+            if ckpt is not None and ((it + 1 - it0) % ckpt_every == 0
+                                     or it + 1 >= num_iter):
+                ckpt.save(jax.tree.map(np.asarray, state), it + 1,
+                          {"method": self.method})
+        return state, history
 
     def _block_specs(self, stacked=True):
         # stacked block arrays are [nb, S, C, L]: shard the S axis
@@ -585,6 +820,9 @@ class OVBLearner:
     def run(self, state: Optional[OVBState] = None,
             num_iter: Optional[int] = None, verbose: bool = True,
             ckpt=None, ckpt_every: int = 10):
+        if getattr(self, "streaming", False):
+            return self._run_streaming(state, num_iter, verbose, ckpt,
+                                       ckpt_every)
         cfg = self.cfg
         if state is None:
             state = self.init_state()
@@ -634,50 +872,79 @@ class OVBLearner:
         return state, history
 
 
+def _plan_shape_spec(plans):
+    """Union shape spec over chunk plans: per bin, sorted (L, Cmax) buckets.
+    Accepts SweepPlan objects or their shape summaries (lists over bins of
+    {L: C} dicts) so a streaming pass can fold specs without holding plans."""
+    num_bins = 0
+    summaries = []
+    for p in plans:
+        if hasattr(p, "blocks"):
+            s = [{blk.rows.shape[2]: blk.cols.shape[0] for blk in bin_blocks}
+                 for bin_blocks in p.blocks]
+        else:
+            s = p
+        summaries.append(s)
+        num_bins = max(num_bins, len(s))
+    bin_specs = []
+    for b in range(num_bins):
+        ls = {}
+        for s in summaries:
+            if b >= len(s):
+                continue
+            for L, C in s[b].items():
+                ls[L] = max(ls.get(L, 0), C)
+        bin_specs.append(sorted(ls.items()))
+    return bin_specs
+
+
+def _align_plan(plan, bin_specs, D, n_dev, rps):
+    """Pad ONE chunk's SweepPlan into the common (bin, L-bucket, Cmax)
+    structure; returns nested lists of dicts of numpy arrays.  Pad columns
+    carry id D (gathers clamp; scatters drop out-of-bounds) and cnt 0
+    (inactive -> update is identity)."""
+    out = []
+    for b, spec in enumerate(bin_specs):
+        bucket_list = []
+        for (L, Cmax) in spec:
+            rows = np.full((n_dev, Cmax, L), rps - 1, np.int32)
+            x = np.zeros((n_dev, Cmax, L), np.float32)
+            cols = np.full((Cmax,), D, np.int32)
+            group = np.zeros((Cmax,), np.int32)
+            sx2 = np.zeros((Cmax,), np.float32)
+            cnt = np.zeros((Cmax,), np.float32)
+            col_count = np.zeros((Cmax,), np.float32)
+            if b < len(plan.blocks):
+                for blk in plan.blocks[b]:
+                    if blk.rows.shape[2] != L:
+                        continue
+                    C = blk.cols.shape[0]
+                    rows[:, :C] = blk.rows
+                    x[:, :C] = blk.x
+                    cols[:C] = blk.cols
+                    group[:C] = blk.group
+                    sx2[:C] = blk.sx2
+                    cnt[:C] = blk.cnt
+                    col_count[:C] = blk.col_count
+            bucket_list.append(dict(rows=rows, x=x, cols=cols, group=group,
+                                    sx2=sx2, cnt=cnt, col_count=col_count))
+        out.append(bucket_list)
+    return out
+
+
 def _align_chunk_plans(plans, D, n_dev):
     """Pad per-chunk SweepPlans to a common (bin, L-bucket, Cmax) structure
     so all chunks share one compiled program; returns nested lists of dicts
     of stacked numpy arrays [nb, ...]."""
-    nb = len(plans)
-    num_bins = max(p.num_bins for p in plans)
+    bin_specs = _plan_shape_spec(plans)
     rps = plans[0].rows_per_shard
-    # collect union of bucket L values per bin + max C per (bin, L)
-    bin_specs = []
-    for b in range(num_bins):
-        ls = {}
-        for p in plans:
-            if b >= len(p.blocks):
-                continue
-            for blk in p.blocks[b]:
-                L = blk.rows.shape[2]
-                ls[L] = max(ls.get(L, 0), blk.cols.shape[0])
-        bin_specs.append(sorted(ls.items()))
+    per_chunk = [_align_plan(p, bin_specs, D, n_dev, rps) for p in plans]
     out = []
-    for b in range(num_bins):
+    for b in range(len(bin_specs)):
         bucket_list = []
-        for (L, Cmax) in bin_specs[b]:
-            rows = np.full((nb, n_dev, Cmax, L), rps - 1, np.int32)
-            x = np.zeros((nb, n_dev, Cmax, L), np.float32)
-            cols = np.full((nb, Cmax), D, np.int32)
-            group = np.zeros((nb, Cmax), np.int32)
-            sx2 = np.zeros((nb, Cmax), np.float32)
-            cnt = np.zeros((nb, Cmax), np.float32)
-            col_count = np.zeros((nb, Cmax), np.float32)
-            for ci, p in enumerate(plans):
-                if b >= len(p.blocks):
-                    continue
-                for blk in p.blocks[b]:
-                    if blk.rows.shape[2] != L:
-                        continue
-                    C = blk.cols.shape[0]
-                    rows[ci, :, :C] = blk.rows
-                    x[ci, :, :C] = blk.x
-                    cols[ci, :C] = blk.cols
-                    group[ci, :C] = blk.group
-                    sx2[ci, :C] = blk.sx2
-                    cnt[ci, :C] = blk.cnt
-                    col_count[ci, :C] = blk.col_count
-            bucket_list.append(dict(rows=rows, x=x, cols=cols, group=group,
-                                    sx2=sx2, cnt=cnt, col_count=col_count))
+        for j in range(len(bin_specs[b])):
+            keys = per_chunk[0][b][j].keys()
+            bucket_list.append({k: np.stack([pc[b][j][k] for pc in per_chunk])
+                                for k in keys})
         out.append(bucket_list)
     return out

@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+FEATURE_AXIS = "feature"
 
 
 def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -26,6 +27,20 @@ def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def make_mesh2d(n_data: Optional[int] = None, n_feature: int = 1,
+                devices=None) -> Mesh:
+    """2-D ``(data, feature)`` mesh for feature-sharded (tensor-parallel)
+    training: rows shard over ``data``, parameter tables over ``feature``.
+    With ``n_data=None`` all devices are used (``n_data = len/n_feature``)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_feature
+    devices = devices[: n_data * n_feature]
+    arr = np.asarray(devices).reshape(n_data, n_feature)
+    return Mesh(arr, (DATA_AXIS, FEATURE_AXIS))
 
 
 def data_spec(mesh: Mesh, *, axis: int = 0) -> NamedSharding:

@@ -30,6 +30,73 @@ def test_tp_scores_match_replicated():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 
+def _tp_train_setup(seed=2):
+    from svbfm_tpu.data.dataset import SparseDataset
+    from svbfm_tpu.data.meta import DataMetaInfo
+    from svbfm_tpu.data.synth import make_movielens_like, train_test_split
+    from svbfm_tpu.learners.base import FMConfig
+    coo = make_movielens_like(num_users=20, num_items=14, num_ratings=700,
+                              rank=2, noise=0.4, seed=seed)
+    tr, te = train_test_split(coo, 0.2, seed=seed + 1)
+    D = coo.num_features
+    meta = DataMetaInfo.from_field_offsets(D, [0, 20])
+    cfg = FMConfig(num_attributes=D, num_factor=4,
+                   min_target=float(tr.target.min()),
+                   max_target=float(tr.target.max()),
+                   num_groups=meta.num_attr_groups, seed=7)
+    return (cfg, SparseDataset.from_coo(tr, D), SparseDataset.from_coo(te, D),
+            meta, D)
+
+
+def test_tp_vb_training_matches_replicated():
+    """Feature-sharded VB TRAINING: a (data=2, feature=4) mesh with V/w
+    tables sharded over features reproduces the replicated fast-mode
+    VBLearner's trajectory (VERDICT item 3 / SURVEY TP row)."""
+    from svbfm_tpu.learners.vb import VBLearner
+    from svbfm_tpu.parallel.mesh import make_mesh2d
+    from svbfm_tpu.parallel.tp_vb import TPVBLearner
+    cfg, tr_ds, te_ds, meta, D = _tp_train_setup()
+    l_rep = VBLearner(cfg, tr_ds, te_ds, meta, mesh=make_mesh(2),
+                      write_files=False)
+    s_rep, h_rep = l_rep.run(num_iter=5, verbose=False)
+
+    l_tp = TPVBLearner(cfg, tr_ds, te_ds, meta,
+                       mesh=make_mesh2d(n_data=2, n_feature=4))
+    # tables really are feature-sharded
+    assert l_tp.D_loc * 4 >= D and l_tp.D_loc < D
+    s_tp, h_tp = l_tp.run(num_iter=5, verbose=False)
+
+    mu_v_tp = np.asarray(s_tp.mu_v)[:, :D]
+    np.testing.assert_allclose(mu_v_tp, np.asarray(s_rep.mu_v),
+                               rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_tp.mu_w)[:D],
+                               np.asarray(s_rep.mu_w), rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(float(s_tp.alpha), float(s_rep.alpha),
+                               rtol=1e-4)
+    for a, b in zip(h_tp, h_rep):
+        np.testing.assert_allclose(a["rmse"], b["rmse"], rtol=1e-4)
+        np.testing.assert_allclose(a["free_energy"], b["free_energy"],
+                                   rtol=1e-4)
+
+
+def test_tp_vb_feature_shard_invariance():
+    """The TP trajectory is invariant to the (data, feature) factorization."""
+    from svbfm_tpu.parallel.mesh import make_mesh2d
+    from svbfm_tpu.parallel.tp_vb import TPVBLearner
+    cfg, tr_ds, te_ds, meta, D = _tp_train_setup(seed=5)
+    l_a = TPVBLearner(cfg, tr_ds, te_ds, meta,
+                      mesh=make_mesh2d(n_data=4, n_feature=2))
+    s_a, h_a = l_a.run(num_iter=3, verbose=False)
+    l_b = TPVBLearner(cfg, tr_ds, te_ds, meta,
+                      mesh=make_mesh2d(n_data=1, n_feature=8))
+    s_b, h_b = l_b.run(num_iter=3, verbose=False)
+    np.testing.assert_allclose(np.asarray(s_a.mu_v)[:, :D],
+                               np.asarray(s_b.mu_v)[:, :D],
+                               rtol=5e-4, atol=1e-5)
+    for a, b in zip(h_a, h_b):
+        np.testing.assert_allclose(a["rmse"], b["rmse"], rtol=1e-4)
+
+
 def test_tp_no_k0_k1():
     rng = np.random.default_rng(1)
     D, K, N, P = 64, 4, 128, 2

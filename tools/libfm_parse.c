@@ -99,3 +99,38 @@ int libfm_fill(const char *path, int *row, int *col, float *val,
                float *target) {
     return scan_file(path, NULL, NULL, NULL, row, col, val, target);
 }
+
+/* Row-offset index scan over a reference-format binary sparse matrix
+ * (header: see /root/reference/src/util/fmatrix.h:46-52; per row a uint32
+ * size then size * {uint32 id, float32 value}).  Fills row_offsets
+ * (num_rows+1 absolute byte offsets, the first one = header_size) and
+ * row_sizes.  Streams with a fixed buffer so files far larger than RAM
+ * index in one sequential pass.  Returns 0 on success. */
+int sparse_index_scan(const char *path, long long header_size,
+                      long long num_rows, long long *row_offsets,
+                      long long *row_sizes) {
+    FILE *f = fopen(path, "rb");
+    if (!f) return 1;
+    if (fseek(f, (long)header_size, SEEK_SET) != 0) { fclose(f); return 2; }
+    /* skip record payloads via buffered reads (glibc fseek discards the
+     * stdio buffer, costing 2 syscalls per row; sequential fread streams) */
+    static char skip[1 << 20];
+    long long off = header_size;
+    for (long long r = 0; r < num_rows; r++) {
+        unsigned int k;
+        if (fread(&k, 4, 1, f) != 1) { fclose(f); return 3; }
+        row_offsets[r] = off;
+        row_sizes[r] = (long long)k;
+        off += 4 + 8LL * (long long)k;
+        long long skip_bytes = 8LL * (long long)k;
+        while (skip_bytes > 0) {
+            size_t want = skip_bytes > (long long)sizeof(skip)
+                              ? sizeof(skip) : (size_t)skip_bytes;
+            if (fread(skip, 1, want, f) != want) { fclose(f); return 4; }
+            skip_bytes -= (long long)want;
+        }
+    }
+    row_offsets[num_rows] = off;
+    fclose(f);
+    return 0;
+}
