@@ -25,6 +25,7 @@ Preserved semantics (``libfm.cpp``):
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Optional
 
@@ -63,6 +64,8 @@ Flags (libFM-compatible; -name value):
   -map_item_offset  subtract from fixture item ids; default=0
   -map_k       MAP cutoff; default=5
   -profile     jax.profiler trace directory (TensorBoard/XProf)
+  -distributed 1 to initialize jax.distributed multi-host SPMD (or set
+               SVBFM_COORDINATOR/SVBFM_NUM_PROCESSES/SVBFM_PROCESS_ID)
   -help        this screen
 """
 
@@ -128,7 +131,7 @@ KNOWN = {"task", "meta", "train", "test", "validation", "out", "dim",
          "verbosity", "rlog", "seed", "help", "relation", "cache_size",
          "batch", "do_sampling", "do_multilevel", "num_eval_cases", "bins",
          "factor_block", "checkpoint", "checkpoint_every", "map_eval",
-         "map_item_offset", "map_k", "profile"}
+         "map_item_offset", "map_k", "profile", "distributed"}
 
 
 def main(argv: Optional[list[str]] = None) -> int:
@@ -138,6 +141,16 @@ def main(argv: Optional[list[str]] = None) -> int:
         print(HELP)
         return 0
     cmd.check(KNOWN)
+
+    # multi-host SPMD: initialize jax.distributed BEFORE any jax.devices()
+    # call so make_mesh sees the global device list (SURVEY §5 distributed
+    # comm backend; the reference has no multi-process story at all)
+    if cmd.get_int("distributed", 0) or os.environ.get("SVBFM_COORDINATOR"):
+        from svbfm_tpu.parallel.mesh import distributed_init, process_info
+        if distributed_init():
+            pidx, pcnt = process_info()
+            print(f"# distributed: process {pidx}/{pcnt}, "
+                  f"{__import__('jax').device_count()} global devices")
 
     from svbfm_tpu.data.dataset import SparseDataset
     from svbfm_tpu.data.libfm_text import load_libfm_text
