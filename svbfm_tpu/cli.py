@@ -356,6 +356,17 @@ def main(argv: Optional[list[str]] = None) -> int:
     rlog.add_field("time_learn")
     rlog.init()
 
+    # per-iteration MAP@k inside the MCMC/OVBFM classification loops
+    # (fm_learn_mcmc_simultaneous.h:270-275, fm_learn_vb_online_
+    # simultaneous.h:258-262); the reference hardcodes the fixture path —
+    # here it is the -map_eval flag, loaded once before the run
+    if cmd.has("map_eval") and task == TASK_CLASSIFICATION \
+            and hasattr(type(learner), "map_eval"):
+        from svbfm_tpu.learners.base import MapEval
+        learner.map_eval = MapEval.from_file(
+            cmd.get_str("map_eval"), cmd.get_int("map_item_offset", 0),
+            cmd.get_int("map_k", 5))
+
     run_kw = {}
     if cmd.has("checkpoint"):
         from svbfm_tpu.utils.checkpoint import CheckpointManager

@@ -279,6 +279,39 @@ def load_map_fixture(path: str, item_offset: int = 0):
             positives)
 
 
+class MapEval:
+    """Per-iteration implicit-feedback MAP@k evaluator for classification.
+
+    The reference evaluates MAP@5 *inside* the MCMC and OVBFM iteration
+    loops (fm_learn_mcmc_simultaneous.h:270-275 on the posterior-mean
+    probabilities, fm_learn_vb_online_simultaneous.h:258-262 on the current
+    epoch's probabilities), using a fixture whose path is hardcoded
+    (fm_learn_mcmc.h:1164-1196); here the fixture comes from the
+    ``-map_eval``/``-map_item_offset``/``-map_k`` flags and is attached to a
+    learner as ``learner.map_eval = MapEval.from_file(...)`` before ``run``.
+
+    Note a deliberate deviation: the reference's ``test_user_prediction_item``
+    multimap is never cleared between iterations, so its iteration-i MAP ranks
+    a mixture of predictions from ALL iterations <= i; we rank each
+    iteration's predictions alone (see PARITY.md).
+    """
+
+    def __init__(self, user_ids, item_ids, positives: dict, k: int = 5):
+        self.user_ids = np.asarray(user_ids)
+        self.item_ids = np.asarray(item_ids)
+        self.positives = positives
+        self.k = int(k)
+
+    @classmethod
+    def from_file(cls, path: str, item_offset: int = 0, k: int = 5) -> "MapEval":
+        u, i, pos = load_map_fixture(path, item_offset)
+        return cls(u, i, pos, k)
+
+    def __call__(self, probs) -> float:
+        return map_at_k(probs, self.user_ids, self.item_ids,
+                        self.positives, k=self.k)
+
+
 # ---------------------------------------------------------------------------
 # Trajectory files (test_rmse_* / free_energy_*), reference-compatible names
 # ---------------------------------------------------------------------------

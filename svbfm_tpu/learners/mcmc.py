@@ -374,6 +374,9 @@ class MCMCLearner:
     """Gibbs-MCMC / ALS trainer over a device mesh."""
 
     method = "mcmc"
+    #: optional base.MapEval — enables per-iteration MAP@k for task 'c'
+    #: (fm_learn_mcmc_simultaneous.h:270-275)
+    map_eval = None
 
     def __init__(self, cfg: FMConfig, train: SparseDataset, test: SparseDataset,
                  meta: Optional[DataMetaInfo] = None, mesh=None,
@@ -547,9 +550,15 @@ class MCMCLearner:
         if state is None:
             state = self.init_state()
         num_iter = num_iter if num_iter is not None else cfg.num_iter
+        map_eval = (self.map_eval if cfg.task != TASK_REGRESSION else None)
         if chunk is None:
             # fixed default chunk => one compiled program shape across runs
             chunk = min(10, num_iter)
+        if map_eval is not None:
+            # per-iteration MAP@k ranks the posterior-mean probabilities on
+            # host (fm_learn_mcmc_simultaneous.h:270-275); psum_all is only
+            # observable between fused chunks, so run one iteration per chunk
+            chunk = 1
         from jax.sharding import NamedSharding
         shd = NamedSharding(self.mesh, P(DATA_AXIS))
         rep = NamedSharding(self.mesh, P())
@@ -597,7 +606,15 @@ class MCMCLearner:
                               f"\tTest(this)={rec['rmse_this']:.6g}")
                 else:
                     rmse_file.append(rec["accuracy"])
-                    if verbose:
+                    if map_eval is not None:
+                        # posterior-mean probabilities at this iteration
+                        # (chunk==1, so psum_all is exactly iter `it`'s sum)
+                        probs = np.asarray(psum_all)[: self.test_n] / (it + 1.0)
+                        rec["map"] = map_eval(probs)
+                        if verbose:
+                            print(f"#Iter={it:3d}\tTest={rec['accuracy']:.6g}"
+                                  f"\tMAP@{map_eval.k}= {rec['map']:.6g}")
+                    elif verbose:
                         print(f"#Iter={it:3d}\tTest={rec['accuracy']:.6g}")
                 history.append(rec)
                 it += 1

@@ -412,6 +412,9 @@ class OVBLearner:
     """Online VBFM trainer (method 'vb_online') over a device mesh."""
 
     method = "vb_online"
+    #: optional base.MapEval — enables per-iteration MAP@k for task 'c'
+    #: (fm_learn_vb_online_simultaneous.h:258-262)
+    map_eval = None
 
     def __init__(self, cfg: FMConfig, train: SparseDataset, test: SparseDataset,
                  meta: Optional[DataMetaInfo] = None, mesh=None,
@@ -733,10 +736,8 @@ class OVBLearner:
                 if verbose:
                     print(f"#Iter={it:3d}\tTest={rec['rmse']:.6g}")
             else:
-                rec.update(accuracy=float(m1), loglik=float(m2))
-                rmse_file.append(rec["accuracy"])
-                if verbose:
-                    print(f"#Iter={it:3d}\tTest={rec['accuracy']:.6g}")
+                self._classification_iter(state, it, m1, m2, rec, rmse_file,
+                                          verbose)
             history.append(rec)
             if ckpt is not None and ((it + 1 - it0) % ckpt_every == 0
                                      or it + 1 >= num_iter):
@@ -817,6 +818,27 @@ class OVBLearner:
                                              self.test_row.vals)
         return np.asarray(s)[: self.test_n]
 
+    def _classification_iter(self, state, it, m1, m2, rec, rmse_file,
+                             verbose: bool) -> None:
+        """Per-epoch classification record: accuracy/loglik, plus MAP@k on
+        the current epoch's probabilities when a fixture is attached.  The
+        reference writes MAP@k — not accuracy — into the ``test_rmse_*``
+        trajectory file for task 'c' (fm_learn_vb_online_simultaneous.h:
+        258-262); that quirk is preserved when ``map_eval`` is set."""
+        rec.update(accuracy=float(m1), loglik=float(m2))
+        if self.map_eval is not None:
+            probs = np.asarray(ref_cdf_gaussian(
+                jnp.asarray(self.predict_test_scores(state))))
+            rec["map"] = self.map_eval(probs)
+            rmse_file.append(rec["map"])
+            if verbose:
+                print(f"#Iter={it:3d}\tTest={rec['accuracy']:.6g}"
+                      f"\tMAP@{self.map_eval.k}= {rec['map']:.6g}")
+        else:
+            rmse_file.append(rec["accuracy"])
+            if verbose:
+                print(f"#Iter={it:3d}\tTest={rec['accuracy']:.6g}")
+
     def run(self, state: Optional[OVBState] = None,
             num_iter: Optional[int] = None, verbose: bool = True,
             ckpt=None, ckpt_every: int = 10):
@@ -860,10 +882,8 @@ class OVBLearner:
                 if verbose:
                     print(f"#Iter={it:3d}\tTest={rec['rmse']:.6g}")
             else:
-                rec.update(accuracy=float(m1), loglik=float(m2))
-                rmse_file.append(rec["accuracy"])
-                if verbose:
-                    print(f"#Iter={it:3d}\tTest={rec['accuracy']:.6g}")
+                self._classification_iter(state, it, m1, m2, rec, rmse_file,
+                                          verbose)
             history.append(rec)
             if ckpt is not None and ((it + 1) % ckpt_every == 0
                                      or it + 1 >= num_iter):
