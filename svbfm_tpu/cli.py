@@ -347,14 +347,11 @@ def main(argv: Optional[list[str]] = None) -> int:
     except Exception:
         pass
 
-    # RLog schema (fm_learn.h:80-101 flavor)
-    rlog.add_field("rmse")
-    rlog.add_field("mae")
-    rlog.add_field("accuracy")
-    rlog.add_field("free_energy")
-    rlog.add_field("alpha")
-    rlog.add_field("time_learn")
-    rlog.init()
+    # Reference-parity RLog schema, streamed per iteration by the learner
+    # (fm_learn.h:78-95 base fields + the learner-specific column sets;
+    # see utils/rlog_schema.py for the registration map)
+    from svbfm_tpu.utils.rlog_schema import register_for
+    register_for(learner, rlog)
 
     # per-iteration MAP@k inside the MCMC/OVBFM classification loops
     # (fm_learn_mcmc_simultaneous.h:270-275, fm_learn_vb_online_
@@ -376,12 +373,6 @@ def main(argv: Optional[list[str]] = None) -> int:
     with trace(cmd.get_str("profile") or None):
         state, history = learner.run(num_iter=cfg.num_iter,
                                      verbose=verbose, **run_kw)
-    for rec in history:
-        for key in ("rmse", "mae", "accuracy", "free_energy", "alpha",
-                    "time_learn"):
-            if key in rec:
-                rlog.log(key, rec[key])
-        rlog.new_line()
     rlog.close()
 
     # final evaluation + -out predictions (libfm.cpp:508-519).  Sampling

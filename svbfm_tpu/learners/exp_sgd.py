@@ -238,12 +238,18 @@ class ExpSGDLearner:
         rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
                                    self.write_files and it0 == 0)
         history = []
+        import time as _time
         for it in range(it0, num_iter):
+            t0 = _time.perf_counter()
             state, rmse = self._step(state, self.train_row, self.plan_data,
                                      self.test_row)
             rmse = float(rmse)
             rmse_file.append(rmse)
-            history.append({"iter": it, "rmse": rmse})
+            rec = {"iter": it, "rmse": rmse,
+                   "time_learn": _time.perf_counter() - t0}
+            from svbfm_tpu.utils.rlog_schema import stream_row
+            stream_row(self, rec)
+            history.append(rec)
             if verbose:
                 print(f"#Iter={it:3d}\tTest={rmse:.6g}")
             if ckpt is not None and ((it + 1 - it0) % ckpt_every == 0

@@ -449,8 +449,14 @@ class MCMCLearner:
             rmse_but5 = jnp.where(
                 it >= 5, _rmse(psum_but5, 1.0 / jnp.maximum(itf - 4.0, 1.0)),
                 rmse_all)
+            err_all = (jnp.clip(psum_all / (itf + 1.0), cfg.min_target,
+                                cfg.max_target) - trow.target) * trow.valid
+            mae_all = _psum(jnp.sum(jnp.abs(err_all))) / nt
             metrics = dict(rmse=rmse_all, rmse_this=rmse_this,
-                           rmse_all_but5=rmse_but5, alpha=state.alpha)
+                           rmse_all_but5=rmse_but5, mae=mae_all,
+                           alpha=state.alpha,
+                           w_mu=state.w_mu, w_lambda=state.w_lambda,
+                           v_mu=state.v_mu, v_lambda=state.v_lambda)
         else:
             prob = ref_cdf_gaussian(scores)
             psum_all = psum_all + prob
@@ -463,7 +469,16 @@ class MCMCLearner:
             pll = jnp.clip(pm, 0.01, 0.99)
             ll = -_psum(jnp.sum((m * jnp.log10(pll) + (1 - m) * jnp.log10(1 - pll))
                                 * trow.valid)) / nt
-            metrics = dict(accuracy=acc, loglik=ll, alpha=state.alpha)
+            hit_this = (((prob >= 0.5) & (yt > 0)) | ((prob < 0.5) & (yt < 0)))
+            acc_this = _psum(jnp.sum(hit_this * trow.valid)) / nt
+            pll_this = jnp.clip(prob, 0.01, 0.99)
+            ll_this = -_psum(jnp.sum(
+                (m * jnp.log10(pll_this) + (1 - m) * jnp.log10(1 - pll_this))
+                * trow.valid)) / nt
+            metrics = dict(accuracy=acc, loglik=ll, acc_this=acc_this,
+                           ll_this=ll_this, alpha=state.alpha,
+                           w_mu=state.w_mu, w_lambda=state.w_lambda,
+                           v_mu=state.v_mu, v_lambda=state.v_lambda)
             state = self._resample_class_targets_jax(state, row)
         return (state, psum_all, psum_but5, it + 1), metrics
 
@@ -598,7 +613,9 @@ class MCMCLearner:
             iter_wall = (_time.perf_counter() - t0) / n
             for j in range(n):
                 rec = {"iter": it, "time_learn": iter_wall}
-                rec.update({k: float(v[j]) for k, v in metrics.items()})
+                # vector metrics ([G]/[G,K] hyperparameter traces) stay arrays
+                rec.update({k: (float(v[j]) if v[j].ndim == 0 else v[j])
+                            for k, v in metrics.items()})
                 if cfg.task == TASK_REGRESSION:
                     rmse_file.append(rec["rmse"])
                     if verbose:
@@ -616,6 +633,8 @@ class MCMCLearner:
                                   f"\tMAP@{map_eval.k}= {rec['map']:.6g}")
                     elif verbose:
                         print(f"#Iter={it:3d}\tTest={rec['accuracy']:.6g}")
+                from svbfm_tpu.utils.rlog_schema import stream_row
+                stream_row(self, rec)
                 history.append(rec)
                 it += 1
             done += n

@@ -356,17 +356,25 @@ class SGDLearner:
                          self.test_row.ids, self.test_row.vals)
         return np.asarray(s)[: self.test_n]
 
-    def _eval_iter(self, state, it, rmse_file, history, verbose):
+    def _eval_iter(self, state, it, rmse_file, history, verbose, extra=None):
         cfg = self.cfg
+        import time as _time
+        t0 = _time.perf_counter()
         scores = self.predict_test_scores(state)
-        rec = {"iter": it}
+        rec = {"iter": it, "time_pred": _time.perf_counter() - t0}
+        if extra:
+            rec.update(extra)
         if cfg.task == TASK_REGRESSION:
             rmse, mae = evaluate_regression(scores, self.test_target_np,
                                             cfg.min_target, cfg.max_target)
             rmse_file.append(rmse)
             rec.update(rmse=rmse, mae=mae)
             if verbose:
-                print(f"#Iter={it:3d}\tTest={rmse:.6g}")
+                if "rmse_train" in rec:  # SGDA prints Train= (adapt_reg.h:306)
+                    print(f"#Iter={it:3d}\tTrain={rec['rmse_train']:.6g}"
+                          f"\tTest={rmse:.6g}")
+                else:
+                    print(f"#Iter={it:3d}\tTest={rmse:.6g}")
         else:
             prob = 1.0 / (1.0 + np.exp(-scores))
             acc, ll = evaluate_classification(2 * prob - 1 + 1e-12, 2 * (self.test_target_np > 0) - 1.0)
@@ -409,9 +417,15 @@ class SGDLearner:
         rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
                                    self.write_files and it0 == 0)
         history = []
+        import time as _time
         for it in range(it0, num_iter):
+            t0 = _time.perf_counter()
             state = self._run_epoch(state, it)
-            self._eval_iter(state, it, rmse_file, history, verbose)
+            jax.block_until_ready(state)  # informational epoch timing
+            self._eval_iter(state, it, rmse_file, history, verbose,
+                            extra={"time_learn": _time.perf_counter() - t0})
+            from svbfm_tpu.utils.rlog_schema import stream_row
+            stream_row(self, history[-1], state)
             if ckpt is not None and ((it + 1 - it0) % ckpt_every == 0
                                      or it + 1 >= num_iter):
                 ckpt.save(jax.tree.map(np.asarray, state), it + 1,
@@ -482,6 +496,24 @@ class SGDALearner(SGDLearner):
         # iter 0 skips the lambda steps (adapt_reg.h warm-up)
         epoch = self._epoch_warm if it == 0 else self._epoch_full
         return epoch(state, self.train_row, self.val_row)
+
+    def _row_scores(self, state, row, n: int) -> np.ndarray:
+        s = self._scores(state.w0, state.w, state.v, row.ids, row.vals)
+        return np.asarray(s)[:n]
+
+    def _eval_iter(self, state, it, rmse_file, history, verbose, extra=None):
+        # the reference evaluates train AND validation every iteration and
+        # logs rmse_train/rmse_val (adapt_reg.h:300-341)
+        cfg = self.cfg
+        ex = dict(extra or {})
+        if cfg.task == TASK_REGRESSION:
+            for name, row, n in (("rmse_train", self.train_row, self.train_n),
+                                 ("rmse_val", self.val_row, self.val_n)):
+                scores = self._row_scores(state, row, n)
+                target = np.asarray(row.target)[:n]
+                ex[name] = evaluate_regression(scores, target, cfg.min_target,
+                                               cfg.max_target)[0]
+        super()._eval_iter(state, it, rmse_file, history, verbose, extra=ex)
 
 
 class SGDOnlineLearner(SGDLearner):

@@ -632,7 +632,9 @@ class VBLearner:
                 _psum(jnp.sum(e_c * e_c * row.valid))
                 / jnp.asarray(float(self.train_n), scores.dtype))
             metrics = dict(free_energy=fe, rmse=rmse, mae=mae,
-                           train_rmse=train_rmse, **nans)
+                           train_rmse=train_rmse, alpha=state.alpha,
+                           sigma_w=state.sigma_w, sigma_v=state.sigma_v,
+                           **nans)
         else:
             prob = ref_cdf_gaussian(scores)
             yt = trow.target
@@ -643,7 +645,9 @@ class VBLearner:
             ll = -_psum(jnp.sum(
                 (m * jnp.log10(pll) + (1 - m) * jnp.log10(1 - pll))
                 * trow.valid)) / nt
-            metrics = dict(free_energy=fe, accuracy=acc, loglik=ll, **nans)
+            metrics = dict(free_energy=fe, accuracy=acc, loglik=ll,
+                           alpha=state.alpha, sigma_w=state.sigma_w,
+                           sigma_v=state.sigma_v, **nans)
             # probit e-resampling (fm_learn_vb_simultaneous.h:172-200)
             e = state.e
             sampled = jnp.where(row.target >= 0, truncnorm_mean_positive(e),
@@ -775,7 +779,9 @@ class VBLearner:
             iter_wall = (_time.perf_counter() - t0) / n
             for j in range(n):
                 rec = {"iter": it, "time_learn": iter_wall}
-                rec.update({k: float(v[j]) for k, v in metrics.items()})
+                # vector metrics ([G]/[G,K] precision traces) stay arrays
+                rec.update({k: (float(v[j]) if v[j].ndim == 0 else v[j])
+                            for k, v in metrics.items()})
                 fe_file.append(-rec["free_energy"])
                 if cfg.task == TASK_REGRESSION:
                     rmse_file.append(rec["rmse"])
@@ -791,6 +797,8 @@ class VBLearner:
                     if verbose:
                         print(f"#Iter={it:3d}\tTest={rec['accuracy']:.6g}"
                               f"\tTest(ll)={rec['loglik']:.6g}")
+                from svbfm_tpu.utils.rlog_schema import stream_row
+                stream_row(self, rec)
                 history.append(rec)
                 it += 1
             done += n

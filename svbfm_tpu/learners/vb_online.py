@@ -715,7 +715,9 @@ class OVBLearner:
         step_fn = self._build_chunk_step()
         eval_fn = self._build_eval()
         history = []
+        import time as _time
         for it in range(it0, num_iter):
+            t0 = _time.perf_counter()
             order = self.rng.permutation(self.num_chunks)
             fes = []
             for ci in order:
@@ -729,7 +731,8 @@ class OVBLearner:
             # reference: free energy appended for first and last chunk
             fe_file.append(-fes[0])
             fe_file.append(-fes[-1])
-            rec = {"iter": it, "free_energy": fes[-1]}
+            rec = {"iter": it, "free_energy": fes[-1],
+                   "time_learn": _time.perf_counter() - t0}
             if cfg.task == TASK_REGRESSION:
                 rec.update(rmse=float(m1), mae=float(m2))
                 rmse_file.append(rec["rmse"])
@@ -738,6 +741,8 @@ class OVBLearner:
             else:
                 self._classification_iter(state, it, m1, m2, rec, rmse_file,
                                           verbose)
+            from svbfm_tpu.utils.rlog_schema import stream_row
+            stream_row(self, rec, state)
             history.append(rec)
             if ckpt is not None and ((it + 1 - it0) % ckpt_every == 0
                                      or it + 1 >= num_iter):
@@ -866,7 +871,9 @@ class OVBLearner:
                                  self.write_files and it0 == 0)
         epoch_fn = self._build_epoch()
         history = []
+        import time as _time
         for it in range(it0, num_iter):
+            t0 = _time.perf_counter()
             order = jnp.asarray(self.rng.permutation(self.num_chunks)
                                 .astype(np.int32))
             state, fes, m1, m2 = epoch_fn(state, order, self.chunk_row,
@@ -875,7 +882,8 @@ class OVBLearner:
             # reference: free energy appended for first and last chunk
             fe_file.append(-float(fes[0]))
             fe_file.append(-float(fes[-1]))
-            rec = {"iter": it, "free_energy": float(fes[-1])}
+            rec = {"iter": it, "free_energy": float(fes[-1]),
+                   "time_learn": _time.perf_counter() - t0}
             if cfg.task == TASK_REGRESSION:
                 rec.update(rmse=float(m1), mae=float(m2))
                 rmse_file.append(rec["rmse"])
@@ -884,6 +892,8 @@ class OVBLearner:
             else:
                 self._classification_iter(state, it, m1, m2, rec, rmse_file,
                                           verbose)
+            from svbfm_tpu.utils.rlog_schema import stream_row
+            stream_row(self, rec, state)
             history.append(rec)
             if ckpt is not None and ((it + 1) % ckpt_every == 0
                                      or it + 1 >= num_iter):

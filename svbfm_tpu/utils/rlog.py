@@ -27,6 +27,9 @@ class RLog:
         self._default[name] = default
         self._value[name] = default
 
+    def has_field(self, name: str) -> bool:
+        return name in self._default
+
     def init(self) -> None:
         if self.path:
             self._fh = open(self.path, "w")

@@ -67,6 +67,62 @@ def test_cli_sgda_and_out(data_files, tmp_path):
     assert len(rlog) == 4  # header + 3 iterations
 
 
+def test_rlog_mcmc_reference_schema(data_files, tmp_path):
+    """TSV column set matches fm_learn.h:78-95 + fm_learn_mcmc.h:1120-1150
+    for a grouped-meta regression run, streamed per iteration."""
+    d, trf, tef, gf = data_files
+    rc = _run_cli(["-task", "r", "-train", trf, "-test", tef,
+                   "-dim", "1,1,2", "-method", "mcmc", "-iter", "3",
+                   "-meta", gf, "-seed", "5",
+                   "-rlog", str(tmp_path / "rlog.tsv")],
+                  str(tmp_path))
+    assert rc == 0
+    lines = (tmp_path / "rlog.tsv").read_text().splitlines()
+    header = lines[0].split("\t")
+    expected = ["rmse", "mae", "time_pred", "time_learn", "time_learn2",
+                "time_learn4", "alpha", "rmse_mcmc_this", "rmse_mcmc_all",
+                "rmse_mcmc_all_but5"]
+    for g in range(2):
+        expected += [f"wmu[{g}]", f"wlambda[{g}]"]
+        for f in range(2):
+            expected += [f"vmu[{g},{f}]", f"vlambda[{g},{f}]"]
+    assert header == expected
+    assert len(lines) == 4  # header + one streamed row per iteration
+    rows = [ln.split("\t") for ln in lines[1:]]
+    col = {name: i for i, name in enumerate(header)}
+    # per-iteration hyperparameter traces are real and move
+    wmu0 = [float(r[col["wmu[0]"]]) for r in rows]
+    assert all(np.isfinite(wmu0))
+    assert len(set(wmu0)) > 1
+    alpha = [float(r[col["alpha"]]) for r in rows]
+    assert all(np.isfinite(alpha))
+    # MCMC leaves time_pred at the NaN default (reference logs it only via
+    # fm_learn.h::evaluate, which the mcmc loop does not call)
+    assert all(r[col["time_pred"]] == "nan" for r in rows)
+
+
+def test_rlog_vb_precision_columns(data_files, tmp_path):
+    d, trf, tef, gf = data_files
+    rc = _run_cli(["-task", "r", "-train", trf, "-test", tef,
+                   "-dim", "1,1,2", "-method", "vb", "-iter", "2",
+                   "-meta", gf, "-rlog", str(tmp_path / "rlog.tsv")],
+                  str(tmp_path))
+    assert rc == 0
+    lines = (tmp_path / "rlog.tsv").read_text().splitlines()
+    header = lines[0].split("\t")
+    # vb registers this/all but NOT all_but5 (fm_learn_vb.h:714-742)
+    assert "rmse_mcmc_all" in header and "rmse_mcmc_all_but5" not in header
+    col = {name: i for i, name in enumerate(header)}
+    rows = [ln.split("\t") for ln in lines[1:]]
+    assert len(rows) == 2
+    # VB streams real precision values into the wlambda/vlambda columns
+    # (documented superset: the reference registers them but leaves NaN)
+    wl0 = [float(r[col["wlambda[0]"]]) for r in rows]
+    assert all(np.isfinite(wl0)) and all(v > 0 for v in wl0)
+    # wmu is registered but NaN for VB (no such hyperparameter in VB)
+    assert all(r[col["wmu[0]"]] == "nan" for r in rows)
+
+
 def test_cli_classification(data_files, tmp_path):
     d, trf, tef, gf = data_files
     rc = _run_cli(["-task", "c", "-train", trf, "-test", tef,
