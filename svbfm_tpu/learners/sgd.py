@@ -192,6 +192,78 @@ def sgd_epoch(state: SGDState, row: RowData, cfg: FMConfig, num_batches: int):
     return SGDState(w0=w0, w=w, v=v, key=key)
 
 
+def sgda_lambda_update(w0, w, v, reg_w, reg_v, grad_w, grad_v,
+                       vids, vvals, vy, vvalid, cfg: FMConfig, attr_group):
+    """SGDA lambda (regularization) step on a validation minibatch
+    (``fm_learn_sgd_element_adapt_reg.h:159-236``): forecast theta' with the
+    last-seen gradients, predict_scaled, then step reg_w/reg_v against the
+    forecasted validation loss (clamped at 0).  Runs inside shard_map; at
+    batch size 1 it reproduces the reference per-example step exactly (the
+    batch damping ``scale_l`` is 1 when n_v == 1)."""
+    G = reg_w.shape[0]
+    lr = cfg.learn_rate
+    g_of = take_rows(attr_group, vids)  # [B, P]
+    w_g = take_rows(w, vids)
+    v_g = take_cols(v, vids)  # [K, B, P]
+    gw_g = take_rows(grad_w, vids)
+    gv_g = take_cols(grad_v, vids)
+    rw_g = take_rows(jnp.take(reg_w, attr_group), vids)
+    rv_g = take_cols(jnp.take(reg_v, attr_group, axis=0).T, vids)
+
+    vmask = (vvals != 0).astype(vvals.dtype) * vvalid[:, None]
+    # forecasted parameters theta' = theta - lr*(grad + 2 reg theta)
+    w_dash = w_g - lr * (gw_g + 2.0 * rw_g * w_g)
+    v_dash = v_g - lr * (gv_g + 2.0 * rv_g * v_g)
+
+    # predict_scaled (adapt_reg.h:159-190)
+    p = jnp.zeros(vy.shape, w.dtype)
+    if cfg.k0:
+        p = p + w0
+    if cfg.k1:
+        p = p + (w_dash * vvals * vmask).sum(-1)
+    d = v_dash * vvals[None] * vmask[None]
+    p = p + 0.5 * ((d.sum(-1)) ** 2 - (d * d).sum(-1)).sum(0)
+    if cfg.task == TASK_REGRESSION:
+        p = jnp.clip(p, cfg.min_target, cfg.max_target)
+        grad_loss = 2.0 * (p - vy)
+    else:
+        grad_loss = vy * (jax.nn.sigmoid(vy * p) - 1.0)
+    grad_loss = grad_loss * vvalid
+
+    # lambda_w_grad(g) = -2 lr sum_{i in g} x_i w_i, per example
+    # batch damping, same argument as in sgd_minibatch_update
+    n_v = _psum(jnp.sum(vvalid))
+    scale_l = (1.0 - (1.0 - jnp.minimum(lr, 1.0)) ** n_v) / (
+        lr * jnp.maximum(n_v, 1.0))
+
+    seg = jnp.where(vmask > 0, g_of, G)  # pad -> dropped segment
+    xw = vvals * w_g * vmask
+    lwg = jax.vmap(lambda s, d: jnp.zeros((G + 1,), w.dtype).at[s].add(d)[:G])(
+        seg, xw)  # [B, G]
+    dreg_w = _psum(jnp.sum(grad_loss[:, None] * (-2.0 * lr) * lwg, axis=0))
+    reg_w = jnp.maximum(reg_w - lr * scale_l * dreg_w, 0.0)
+
+    # lambda_v_grad(g,f) = -2 lr (sum_f_dash * sum_f(g) - sum_f_dash_f(g))
+    xv = vvals[None] * v_g * vmask[None]  # [K, B, P]
+    xv_dash = vvals[None] * v_dash * vmask[None]
+    sum_f_dash = xv_dash.sum(-1)  # [K, B]
+
+    def seg_sum_g(data, segs):
+        # data [K, B, P] -> [K, B, G]
+        def one(dk, sk):
+            return jax.vmap(
+                lambda s, d: jnp.zeros((G + 1,), w.dtype).at[s].add(d)[:G]
+            )(sk, dk)
+        return jax.vmap(one)(data, jnp.broadcast_to(segs, data.shape))
+
+    sum_f_g = seg_sum_g(xv, seg[None])  # [K, B, G]
+    sum_fdf_g = seg_sum_g(xv_dash * v_g * vvals[None] * vmask[None], seg[None])
+    lvg = -2.0 * lr * (sum_f_dash[:, :, None] * sum_f_g - sum_fdf_g)  # [K,B,G]
+    dreg_v = _psum(jnp.sum(grad_loss[None, :, None] * lvg, axis=1))  # [K, G]
+    reg_v = jnp.maximum(reg_v - lr * scale_l * dreg_v.T, 0.0)
+    return reg_w, reg_v
+
+
 def sgda_epoch(state: SGDAState, row: RowData, val_row: RowData, cfg: FMConfig,
                num_batches: int, attr_group, do_lambda: bool):
     """One SGDA epoch: alternate theta minibatch (train) and lambda minibatch
@@ -199,7 +271,6 @@ def sgda_epoch(state: SGDAState, row: RowData, val_row: RowData, cfg: FMConfig,
     key, k1, k2 = jax.random.split(state.key, 3)
     ids_b, vals_b, y_b, valid_b = _shuffled_batches(k1, row, num_batches)
     vids_b, vvals_b, vy_b, vvalid_b = _shuffled_batches(k2, val_row, num_batches)
-    G = state.reg_w.shape[0]
     lr = cfg.learn_rate
 
     def batch_step(carry, xs):
@@ -213,71 +284,20 @@ def sgda_epoch(state: SGDAState, row: RowData, val_row: RowData, cfg: FMConfig,
         w0, w, v, gw_e, gv_e = sgd_minibatch_update(
             w0, w, v, ids, vals, y, valid, cfg, lr, 2.0 * 0.0,
             regw_d, regv_d, mult_scale=2.0)
-        # record last-seen per-attribute gradients (grad_w/grad_v caches)
-        grad_w = grad_w.at[ids].set(gw_e, mode="drop")
-        grad_v = grad_v.at[:, ids].set(gv_e, mode="drop")
+        # record last-seen per-attribute gradients (grad_w/grad_v caches);
+        # remap pad entries (id 0, val 0) out of range so they are dropped
+        # instead of clobbering attribute 0's cached gradient
+        D = w.shape[0]
+        mask = (vals != 0) & (valid[:, None] > 0)
+        ids_sc = jnp.where(mask, ids, D)
+        grad_w = grad_w.at[ids_sc].set(gw_e, mode="drop")
+        grad_v = grad_v.at[:, ids_sc].set(gv_e, mode="drop")
 
         if do_lambda:
             # --- lambda step on validation (adapt_reg.h:193-236) ---
-            g_of = take_rows(attr_group, vids)  # [B, P]
-            w_g = take_rows(w, vids)
-            v_g = take_cols(v, vids)  # [K, B, P]
-            gw_g = take_rows(grad_w, vids)
-            gv_g = take_cols(grad_v, vids)
-            rw_g = take_rows(jnp.take(reg_w, attr_group), vids)
-            rv_g = take_cols(jnp.take(reg_v, attr_group, axis=0).T, vids)
-
-            vmask = (vvals != 0).astype(vvals.dtype) * vvalid[:, None]
-            # forecasted parameters theta' = theta - lr*(grad + 2 reg theta)
-            w_dash = w_g - lr * (gw_g + 2.0 * rw_g * w_g)
-            v_dash = v_g - lr * (gv_g + 2.0 * rv_g * v_g)
-
-            # predict_scaled (adapt_reg.h:159-190)
-            p = jnp.zeros(vy.shape, w.dtype)
-            if cfg.k0:
-                p = p + w0
-            if cfg.k1:
-                p = p + (w_dash * vvals * vmask).sum(-1)
-            d = v_dash * vvals[None] * vmask[None]
-            p = p + 0.5 * ((d.sum(-1)) ** 2 - (d * d).sum(-1)).sum(0)
-            if cfg.task == TASK_REGRESSION:
-                p = jnp.clip(p, cfg.min_target, cfg.max_target)
-                grad_loss = 2.0 * (p - vy)
-            else:
-                grad_loss = vy * (jax.nn.sigmoid(vy * p) - 1.0)
-            grad_loss = grad_loss * vvalid
-
-            # lambda_w_grad(g) = -2 lr sum_{i in g} x_i w_i, per example
-            # batch damping, same argument as in sgd_minibatch_update
-            n_v = _psum(jnp.sum(vvalid))
-            scale_l = (1.0 - (1.0 - jnp.minimum(lr, 1.0)) ** n_v) / (
-                lr * jnp.maximum(n_v, 1.0))
-
-            seg = jnp.where(vmask > 0, g_of, G)  # pad -> dropped segment
-            xw = vvals * w_g * vmask
-            lwg = jax.vmap(lambda s, d: jnp.zeros((G + 1,), w.dtype).at[s].add(d)[:G])(
-                seg, xw)  # [B, G]
-            dreg_w = _psum(jnp.sum(grad_loss[:, None] * (-2.0 * lr) * lwg, axis=0))
-            reg_w = jnp.maximum(reg_w - lr * scale_l * dreg_w, 0.0)
-
-            # lambda_v_grad(g,f) = -2 lr (sum_f_dash * sum_f(g) - sum_f_dash_f(g))
-            xv = vvals[None] * v_g * vmask[None]  # [K, B, P]
-            xv_dash = vvals[None] * v_dash * vmask[None]
-            sum_f_dash = xv_dash.sum(-1)  # [K, B]
-
-            def seg_sum_g(data, segs):
-                # data [K, B, P] -> [K, B, G]
-                def one(dk, sk):
-                    return jax.vmap(
-                        lambda s, d: jnp.zeros((G + 1,), w.dtype).at[s].add(d)[:G]
-                    )(sk, dk)
-                return jax.vmap(one)(data, jnp.broadcast_to(segs, data.shape))
-
-            sum_f_g = seg_sum_g(xv, seg[None])  # [K, B, G]
-            sum_fdf_g = seg_sum_g(xv_dash * v_g * vvals[None] * vmask[None], seg[None])
-            lvg = -2.0 * lr * (sum_f_dash[:, :, None] * sum_f_g - sum_fdf_g)  # [K,B,G]
-            dreg_v = _psum(jnp.sum(grad_loss[None, :, None] * lvg, axis=1))  # [K, G]
-            reg_v = jnp.maximum(reg_v - lr * scale_l * dreg_v.T, 0.0)
+            reg_w, reg_v = sgda_lambda_update(
+                w0, w, v, reg_w, reg_v, grad_w, grad_v,
+                vids, vvals, vy, vvalid, cfg, attr_group)
 
         return (w0, w, v, reg_w, reg_v, grad_w, grad_v), None
 

@@ -404,3 +404,150 @@ class OVBOracle:
                                             + self.sigma_v_dash[f, m]))
         self.t_w0 += 1.0
         return e, t
+
+
+class SGDAOracle:
+    """float64 per-example SGDA (fm_learn_sgd_element_adapt_reg.h:123-236):
+    theta steps on train rows with last-seen gradient caches, lambda steps
+    on validation rows against the forecasted-parameter loss."""
+
+    def __init__(self, D, K, G, groups, lr, min_target, max_target,
+                 task=0, k0=True, k1=True):
+        self.D, self.K, self.G = D, K, G
+        self.groups = np.asarray(groups, dtype=np.int64)
+        self.lr = float(lr)
+        self.min_t, self.max_t = float(min_target), float(max_target)
+        self.task, self.k0, self.k1 = task, k0, k1
+        self.reg0 = 0.0
+        self.grad_w = np.zeros(D)
+        self.grad_v = np.zeros((K, D))
+        self.reg_w = np.zeros(G)
+        self.reg_v = np.zeros((G, K))
+
+    def init(self, w0, w, v):
+        self.w0 = float(w0)
+        self.w = np.asarray(w, np.float64).copy()
+        self.v = np.asarray(v, np.float64).copy()
+
+    def _grad_loss(self, p, y):
+        if self.task == 0:
+            p = min(self.max_t, max(self.min_t, p))
+            return 2.0 * (p - y)
+        return y * (1.0 / (1.0 + np.exp(-y * p)) - 1.0)
+
+    def theta_step(self, idx, x, y):
+        """adapt_reg.h:123-157 (grads use the pre-update sums)."""
+        x = np.asarray(x, np.float64)
+        sum_f = self.v[:, idx] @ x  # [K]
+        p = 0.0
+        if self.k0:
+            p += self.w0
+        if self.k1:
+            p += self.w[idx] @ x
+        d = self.v[:, idx] * x
+        p += 0.5 * float((sum_f ** 2 - (d * d).sum(-1)).sum())
+        mult = self._grad_loss(p, y)
+        if self.k0:
+            self.w0 -= self.lr * (mult + 2 * self.reg0 * self.w0)
+        if self.k1:
+            for j, i in enumerate(idx):
+                g = self.groups[i]
+                self.grad_w[i] = mult * x[j]
+                self.w[i] -= self.lr * (self.grad_w[i]
+                                        + 2 * self.reg_w[g] * self.w[i])
+        for f in range(self.K):
+            for j, i in enumerate(idx):
+                g = self.groups[i]
+                vv = self.v[f, i]
+                self.grad_v[f, i] = mult * (x[j] * sum_f[f] - vv * x[j] * x[j])
+                self.v[f, i] -= self.lr * (self.grad_v[f, i]
+                                           + 2 * self.reg_v[g, f] * vv)
+
+    def lambda_step(self, idx, x, y):
+        """adapt_reg.h:159-236 (predict_scaled with forecasted theta')."""
+        x = np.asarray(x, np.float64)
+        lr = self.lr
+        g_of = self.groups[idx]
+        w_dash = self.w[idx] - lr * (self.grad_w[idx]
+                                     + 2 * self.reg_w[g_of] * self.w[idx])
+        rv = self.reg_v[g_of, :].T  # [K, P]
+        v_dash = self.v[:, idx] - lr * (self.grad_v[:, idx]
+                                        + 2 * rv * self.v[:, idx])
+        p = 0.0
+        if self.k0:
+            p += self.w0
+        if self.k1:
+            p += float(w_dash @ x)
+        d = v_dash * x
+        p += 0.5 * float((d.sum(-1) ** 2 - (d * d).sum(-1)).sum())
+        grad_loss = self._grad_loss(p, y)
+
+        if self.k1:
+            lam_w = np.zeros(self.G)
+            np.add.at(lam_w, g_of, x * self.w[idx])
+            lam_w *= -2.0 * lr
+            self.reg_w = np.maximum(self.reg_w - lr * grad_loss * lam_w, 0.0)
+        for f in range(self.K):
+            sum_f_dash = float(v_dash[f] @ x)
+            sum_f = np.zeros(self.G)
+            sum_fdf = np.zeros(self.G)
+            np.add.at(sum_f, g_of, self.v[f, idx] * x)
+            np.add.at(sum_fdf, g_of, v_dash[f] * x * self.v[f, idx] * x)
+            lam_v = -2.0 * lr * (sum_f_dash * sum_f - sum_fdf)
+            self.reg_v[:, f] = np.maximum(
+                self.reg_v[:, f] - lr * grad_loss * lam_v, 0.0)
+
+
+class ExpSGDOracle:
+    """float64 per-coordinate exponential-family SGD
+    (exp_fm_learn_sgd.h:267-455): full-batch coordinate gradient steps over
+    the transpose with incremental e/q patches, natural column order; e is
+    recomputed from scratch each iteration (the simultaneous driver's
+    re-predict, exp_fm_learn_sgd_simultaneous.h:35,107)."""
+
+    def __init__(self, row, col, val, y, D, K, lr, stdev=1.0,
+                 reg0=0.0, regw=0.0, regv=0.0, k0=True, k1=True):
+        self.row = np.asarray(row)
+        self.col = np.asarray(col)
+        self.val = np.asarray(val, np.float64)
+        self.y = np.asarray(y, np.float64)
+        self.n = int(self.y.shape[0])
+        self.D, self.K = D, K
+        self.lr, self.stdev = float(lr), float(stdev)
+        self.reg0, self.regw, self.regv = float(reg0), float(regw), float(regv)
+        self.k0, self.k1 = k0, k1
+        self.cols = SparseCols(self.row, self.col, self.val, self.n, D)
+
+    def init(self, w0, w, v):
+        self.w0 = float(w0)
+        self.w = np.asarray(w, np.float64).copy()
+        self.v = np.asarray(v, np.float64).copy()
+
+    def iterate(self):
+        n = float(self.n)
+        yhat = fm_scores_dense(self.w0, self.w, self.v, self.row, self.col,
+                               self.val, self.n)
+        e = self.stdev * yhat - self.y
+        lr = self.lr
+        if self.k0:
+            w0_old = self.w0
+            self.w0 -= lr * (e.sum() + self.reg0 * self.w0) / n
+            e -= (w0_old - self.w0)
+        if self.k1:
+            for j in range(self.D):
+                ri, x = self.cols.col(j)
+                w_old = self.w[j]
+                self.w[j] -= lr * ((x * e[ri]).sum()
+                                   + self.regw * self.w[j]) / n
+                e[ri] -= x * (w_old - self.w[j])
+        for f in range(self.K):
+            q = np.zeros(self.n)
+            np.add.at(q, self.row, self.v[f, self.col] * self.val)
+            for j in range(self.D):
+                ri, x = self.cols.col(j)
+                v_old = self.v[f, j]
+                h = x * (q[ri] - x * v_old)
+                self.v[f, j] -= lr * ((h * e[ri]).sum()
+                                      + self.regv * self.v[f, j]) / n
+                q[ri] -= x * (v_old - self.v[f, j])
+                e[ri] -= h * (v_old - self.v[f, j])
