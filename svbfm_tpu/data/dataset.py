@@ -127,6 +127,12 @@ class SparseDataset:
         )
 
 
+# bins="auto" runs greedy coloring up to this many nonzeros; beyond it the
+# plan falls back to a single Jacobi bin WITH a loud warning (approximate
+# simultaneous updates instead of exact Gauss-Seidel)
+GREEDY_NNZ_CAP = 200_000_000
+
+
 def assign_bins_greedy(coo: COOData, num_features: int) -> np.ndarray:
     """Conflict-free column coloring, processed in ascending column id.
 
@@ -151,25 +157,27 @@ def assign_bins_greedy(coo: COOData, num_features: int) -> np.ndarray:
     cc, cr = c[corder], r[corder]
     cptr = np.zeros(D + 1, dtype=np.int64)
     np.cumsum(np.bincount(cc, minlength=D), out=cptr[1:])
-    # per-row set of used colors, maintained as bitmask per row (small #colors)
-    row_used = np.zeros(coo.num_rows, dtype=np.int64)
+    # per-row set of used colors, maintained as bitmask per row (small
+    # #colors).  The outer loop is sequential by construction (greedy
+    # coloring is order-dependent); the per-column entry scans are numpy
+    # reductions, so the cost is O(D) Python + O(nnz) C.
+    row_used = np.zeros(coo.num_rows, dtype=np.uint64)
+    one = np.uint64(1)
     for col in range(D):
         lo, hi = cptr[col], cptr[col + 1]
         if lo == hi:
             color[col] = 0  # unobserved column: any bin (it has no entries)
             continue
-        used = np.int64(0)
-        for k in range(lo, hi):
-            used |= row_used[cr[k]]
+        rows_c = cr[lo:hi]
+        used = np.bitwise_or.reduce(row_used[rows_c])
         b = 0
-        while used & (np.int64(1) << b):
+        while used & (one << np.uint64(b)):
             b += 1
             if b >= 63:
                 raise ValueError("greedy coloring needs >63 bins; use jacobi bins")
         color[col] = b
-        bit = np.int64(1) << b
-        for k in range(lo, hi):
-            row_used[cr[k]] |= bit
+        # np.bitwise_or.at handles a row listed twice under one column
+        np.bitwise_or.at(row_used, rows_c, one << np.uint64(b))
     return color
 
 
@@ -321,12 +329,19 @@ class SweepPlan:
         if bins == "auto":
             color = detect_field_bins(coo, D)
             if color is None:
-                # greedy is O(nnz * row_nnz); cap to keep preprocessing sane
-                if coo.nnz <= 20_000_000:
+                # greedy preprocessing is O(D) Python + O(nnz) numpy; cap it
+                # to keep plan build bounded on huge general-sparse data
+                if coo.nnz <= GREEDY_NNZ_CAP:
                     color = assign_bins_greedy(coo, D)
                 else:
                     color = assign_bins_jacobi(D)
                     conflict_free = False
+                    print("# WARNING: bins=auto fell back to a single Jacobi "
+                          f"bin at nnz={coo.nnz} (> 2e8): sweeps update all "
+                          "columns simultaneously (approximate, not exact "
+                          "Gauss-Seidel).  Pass -bins greedy to force exact "
+                          "conflict-free coloring, at preprocessing cost.",
+                          flush=True)
         elif bins == "greedy":
             color = assign_bins_greedy(coo, D)
         elif bins == "jacobi":

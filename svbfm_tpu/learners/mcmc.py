@@ -613,6 +613,8 @@ class MCMCLearner:
             iter_wall = (_time.perf_counter() - t0) / n
             for j in range(n):
                 rec = {"iter": it, "time_learn": iter_wall}
+                if not self.plan.conflict_free:
+                    rec["conflict_free"] = False  # Jacobi-bin approximation
                 # vector metrics ([G]/[G,K] hyperparameter traces) stay arrays
                 rec.update({k: (float(v[j]) if v[j].ndim == 0 else v[j])
                             for k, v in metrics.items()})

@@ -156,6 +156,31 @@ def _nonfinite(x):
     return jnp.sum(~jnp.isfinite(x), dtype=jnp.int32)
 
 
+# Budget for per-tile gather temps in PADDED f32 elements (~1 GB).  Shared
+# by the kernel's tiling decisions and VBLearner._needs_row_tiling so the
+# two can never drift (a drift would silently reintroduce the nested-scan
+# miscompile; see _fused_steps).
+VB_TILE_BUDGET = 256 * 1024 * 1024
+
+
+def _col_tile_count(C: int, L: int, F: int) -> int:
+    """Column-tile count used for a [C, L] block's stats gather: the
+    [Ct, L, 1+2F] temp is padded to (ceil8(L), ceil128(1+2F))."""
+    per_col = (-(-L // 8) * 8) * max(128, -(-(1 + 2 * F) // 128) * 128)
+    return max(1, -(-(C * per_col) // VB_TILE_BUDGET))
+
+
+def _row_tile_count(n_loc: int, CH: int) -> int:
+    """Row-tile count for the bin cache patch: [CH, N] gather temps with CH
+    padded to sublanes of 8."""
+    return max(1, -(-(n_loc * (-(-CH // 8) * 8)) // VB_TILE_BUDGET))
+
+
+def _patch_channels(F: int, merge_w: bool) -> int:
+    """CH of the channel-stacked patch table [5F(+2), D] built per bin."""
+    return 5 * F + (2 if merge_w else 0)
+
+
 def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
                       fmask=None, w_state=None):
     """Coordinate sweep for a *block* of F factors (fm_learn_vb.h:577-644).
@@ -195,12 +220,10 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
 
     n_loc, P_row = ids.shape
     dtype = mu_t.dtype
-    # budget for per-tile gather temps in PADDED elements (~1 GB f32):
-    # TPU pads a temp's last two dims to (8, 128), so budgets must count
+    # TPU pads a temp's last two dims to (8, 128), so budgets count
     # ceil8/ceil128 sizes.  Tiling only engages beyond ML-1M scale — tiled
     # sweeps require run(chunk=1) (nested scans miscompile under the fused
     # iteration scan)
-    max_elems = 256 * 1024 * 1024
 
     # --- q/tq/tz build as [F, N] (one flat gather per row position) ---
     ptab_t = jnp.concatenate([mu_t.T, sig_t.T], axis=0)  # [2F, D]
@@ -250,8 +273,7 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
 
             # tile over columns so the [Ct, L, 1+2F] gather temp is
             # bounded (padded: L -> ceil8, channels -> ceil128)
-            per_col = (-(-L // 8) * 8) * max(128, -(-(1 + 2 * F) // 128) * 128)
-            ct = max(1, -(-(C * per_col) // max_elems))
+            ct = _col_tile_count(C, L, F)
             if ct == 1:
                 v_mean, v_sig, sxe = tile_stats(blk.rows[0], blk.x[0],
                                                 mu_c, sig_c)
@@ -320,6 +342,7 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
             parts += [wdmu_d[None], wdsig_d[None]]
         dtab_t = jnp.concatenate(parts, axis=0)  # [5F(+2), D]
         CH = dtab_t.shape[0]
+        assert CH == _patch_channels(F, w_state is not None)  # trace-time pin
 
         def patch_tile(ids_t, x_t, q_t, tq_t, tz_t, e_t, t_t):
             # ids_t/x_t [P, Nt]; caches [F, Nt] / [Nt]
@@ -347,7 +370,7 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
 
         ids_pn = ids.T  # [P, N] (small sublane pad only)
         x_pn = x_r.T
-        rt = max(1, -(-(n_loc * (-(-CH // 8) * 8)) // max_elems))
+        rt = _row_tile_count(n_loc, CH)
         if rt == 1:
             q, tq, tz, e, t = patch_tile(ids_pn, x_pn, q, tq, tz, e, t)
         else:
@@ -709,23 +732,22 @@ class VBLearner:
         return np.asarray(s)[: self.test_n]
 
     def _needs_row_tiling(self) -> bool:
-        """Mirrors the tiling predicates in vb_v_block_update (rt/ct > 1):
-        when either engages, the sweep contains internal lax.scan tiling
-        and must run one iteration per program."""
+        """True iff vb_v_block_update's internal tiling (rt/ct > 1) engages
+        for this problem, in which case the sweep contains internal lax.scan
+        tiling and must run one iteration per program.  Uses the SAME
+        _col_tile_count/_row_tile_count/_patch_channels helpers as the
+        kernel, so the predicate cannot drift from the tiling decisions."""
         cfg = self.cfg
-        budget = 256 * 1024 * 1024
         K = cfg.num_factor
-        F = min(cfg.factor_block, K) if cfg.factor_block > 0 else K
+        F = max(1, min(cfg.factor_block, K) if cfg.factor_block > 0 else K)
         merge_w = cfg.k1 and cfg.factor_block == 0 and K > 0
-        ch = 5 * max(F, 1) + (2 if merge_w else 0)
         n_loc = self.train_row.ids.shape[0] // self.mesh.devices.size
-        if n_loc * (-(-ch // 8) * 8) > budget:
+        if _row_tile_count(n_loc, _patch_channels(F, merge_w)) > 1:
             return True
-        stats_ch = max(128, -(-(1 + 2 * max(F, 1)) // 128) * 128)
         for bin_blocks in self.plan.blocks:
             for blk in bin_blocks:
                 C, L = blk.rows.shape[1:]
-                if C * (-(-L // 8) * 8) * stats_ch > budget:
+                if _col_tile_count(C, L, F) > 1:
                     return True
         return False
 
@@ -779,6 +801,8 @@ class VBLearner:
             iter_wall = (_time.perf_counter() - t0) / n
             for j in range(n):
                 rec = {"iter": it, "time_learn": iter_wall}
+                if not self.plan.conflict_free:
+                    rec["conflict_free"] = False  # Jacobi-bin approximation
                 # vector metrics ([G]/[G,K] precision traces) stay arrays
                 rec.update({k: (float(v[j]) if v[j].ndim == 0 else v[j])
                             for k, v in metrics.items()})

@@ -144,3 +144,31 @@ def test_sweep_plan_save_load(tmp_path):
             np.testing.assert_allclose(b1.x, b2.x)
             np.testing.assert_array_equal(b1.cols, b2.cols)
             np.testing.assert_allclose(b1.sx2, b2.sx2)
+
+
+def test_auto_bins_jacobi_fallback_warns(monkeypatch, capsys):
+    """Above GREEDY_NNZ_CAP, bins=auto must fall back to Jacobi loudly and
+    mark the plan non-conflict-free (no silent semantic change)."""
+    from svbfm_tpu.data import dataset as dsmod
+    rng = np.random.default_rng(1)
+    N, D = 50, 12
+    rows, cols, vals = [], [], []
+    for n in range(N):
+        k = int(rng.integers(2, 5))
+        cs = rng.choice(D, size=k, replace=False)
+        rows += [n] * k
+        cols += list(cs)
+        vals += [1.0] * k
+    coo = COOData(np.array(rows, np.int32), np.array(cols, np.int32),
+                  np.array(vals, np.float32), np.zeros(N, np.float32), N, D)
+    monkeypatch.setattr(dsmod, "GREEDY_NNZ_CAP", 10)
+    plan = SweepPlan.build(coo, D, bins="auto")
+    out = capsys.readouterr().out
+    assert not plan.conflict_free
+    assert "WARNING" in out and "Jacobi" in out
+    # under the cap: greedy engages, conflict-free, no warning
+    monkeypatch.setattr(dsmod, "GREEDY_NNZ_CAP", 10**9)
+    plan2 = SweepPlan.build(coo, D, bins="auto")
+    out2 = capsys.readouterr().out
+    assert plan2.conflict_free
+    assert "WARNING" not in out2

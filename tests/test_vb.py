@@ -93,3 +93,39 @@ def test_vb_sharding_invariance():
         s8, fe8 = l8._step(s8, l8.train_row, l8.plan_data)
     np.testing.assert_allclose(np.asarray(s1.mu_v), np.asarray(s8.mu_v), rtol=2e-3, atol=2e-5)
     np.testing.assert_allclose(float(fe1), float(fe8), rtol=1e-3)
+
+
+def test_tiling_predicate_matches_kernel_and_is_exact(monkeypatch):
+    """_needs_row_tiling and the kernel share the tile-count helpers; with a
+    tiny budget the tiled path (chunk=1, internal lax.scan tiling) must
+    engage AND reproduce the untiled trajectory exactly (tiling is a pure
+    memory transform)."""
+    from svbfm_tpu.learners import vb as vbmod
+
+    coo, tr, te, cfg, learner, meta = _setup(num_rows=400, num_users=15,
+                                             num_items=12, K=4)
+    assert learner._needs_row_tiling() is False
+    _, hist_ref = learner.run(num_iter=3, verbose=False)
+
+    # shrink the budget so both column and row tiling engage at test scale
+    monkeypatch.setattr(vbmod, "VB_TILE_BUDGET", 4096)
+    learner2 = VBLearner(cfg, SparseDataset.from_coo(tr, cfg.num_attributes),
+                         SparseDataset.from_coo(te, cfg.num_attributes), meta,
+                         mesh=make_mesh(1), write_files=False)
+    assert learner2._needs_row_tiling() is True
+    # predicate agrees with the kernel's actual tile counts
+    F = cfg.num_factor
+    merge_w = cfg.k1 and cfg.factor_block == 0 and F > 0
+    n_loc = learner2.train_row.ids.shape[0]
+    engages = vbmod._row_tile_count(
+        n_loc, vbmod._patch_channels(F, merge_w)) > 1 or any(
+        vbmod._col_tile_count(blk.rows.shape[1], blk.rows.shape[2], F) > 1
+        for bb in learner2.plan.blocks for blk in bb)
+    assert engages == learner2._needs_row_tiling()
+
+    _, hist_tiled = learner2.run(num_iter=3, verbose=False)
+    for r_ref, r_tl in zip(hist_ref, hist_tiled):
+        np.testing.assert_allclose(r_tl["rmse"], r_ref["rmse"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(r_tl["free_energy"], r_ref["free_energy"],
+                                   rtol=1e-5)
