@@ -30,6 +30,7 @@ Reference semantics preserved:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -94,11 +95,41 @@ def _maybe_sample(do_sample: bool, key, mean, sigma_sqr, old, zero_on_bad_sigma=
     return keep_finite(val, old)
 
 
-def _als_v_blocked(e, v, v_mu, v_lambda, alpha, plan, row, cfg, F):
-    """Deterministic ALS v sweep for blocks of F factors (Jacobi across
-    factors inside each conflict-free bin; exact e/q patches).  Mirrors the
-    channel-stacked scheme of learners.vb.vb_v_block_update with the ALS
-    conditional mean (fm_learn_mcmc.h:780-835 with do_sample=False)."""
+def _v_blocked_sweep(e, v, v_mu, v_lambda, alpha, plan, row, cfg, F, key,
+                     exact_seq=True):
+    """Factor-blocked v sweep shared by ALS (do_sample=False) and Gibbs
+    sampling (do_sample=True).
+
+    With ``exact_seq=False`` the cross-factor corrections are skipped and all
+    F factors update from the pre-bin residual (factor-Jacobi within each
+    bin) — not a valid Gibbs kernel, but a fine deterministic ALS fixed-point
+    iteration (the round-1 scheme).
+
+    Channel-stacks the e/q gathers over F factors — one index pass per bin
+    instead of F, and gathers on TPU cost per index, not per channel — while
+    keeping EXACT sequential conditionals.  Factors are processed in order
+    within each conflict-free bin; instead of updating the gathered residual
+    e_g between factor draws (a serial chain of [C, L] stages that measures
+    ~10x slower than the batched kernel on this stack), the effect of earlier
+    factors' draws on later factors' h·e statistics is applied in closed
+    form: within a bin every row appears under at most one column, so
+
+        she_f(e after draws of f' < f) = she_f(e_pre_bin)
+                                         - sum_{f'<f} dv_{f'} * M[f', f]
+        with M[f', f, c] = sum_l h_{f'} h_f   (per column c).
+
+    All [F, C, L] statistics (h, she_0, sh2, M) are computed batched with one
+    psum; the factor recursion touches only [C]/[F, C] arrays, which XLA
+    fuses into a negligible tail.  sh2_f needs no correction (h is
+    independent of e and of other factors' draws).  Every conditional
+    mean/variance therefore sees the latest parameter values; the coordinate
+    order is (bin, factor, column) instead of the reference's
+    (factor, column) — a different but equally valid Gibbs scan order /
+    exact Gauss–Seidel ordering.  Conditionals match fm_learn_mcmc.h:780-835.
+
+    The per-bin row-layout e/q patch recomputes h from the pre-bin q and v
+    snapshot, which is exact because q_f depends only on v_f and in-bin rows
+    are disjoint per column (draws never touch the row caches mid-bin)."""
     K, D = v.shape
     dtype = v.dtype
     ids, x_r = row.ids, row.vals
@@ -106,8 +137,15 @@ def _als_v_blocked(e, v, v_mu, v_lambda, alpha, plan, row, cfg, F):
     lam_dk = take_rows(v_lambda, plan.attr_group)
     nb = K // F
 
-    def blk_step(e, v_t, mu_t, lam_t):
+    def blk_step(e, v_t, mu_t, lam_t, key):
         # v_t/mu_t/lam_t: [D, F]
+        if cfg.do_sample:
+            # ONE [F, D] standard-normal table per block step: every column
+            # is drawn exactly once per sweep (one bucket of one bin), so a
+            # per-column z is valid — and it removes the per-bucket
+            # split/normal chain that serializes the program on the key.
+            key, kb = jax.random.split(key)
+            z_d = jax.random.normal(kb, (F, D), dtype)
         q = jnp.zeros((F, x_r.shape[0]), dtype)
         v_tt = v_t.T  # [F, D]
         for p in range(ids.shape[1]):
@@ -121,21 +159,56 @@ def _als_v_blocked(e, v, v_mu, v_lambda, alpha, plan, row, cfg, F):
                 g = jnp.take(eq_t, blk.rows[0].reshape(-1), axis=-1)
                 g = g.reshape(1 + F, C, L)
                 e_g = g[0]
-                q_g = g[1:]
-                x = blk.x[0][None]  # [1, C, L]
+                q_g = g[1:]  # [F, C, L]
+                x = blk.x[0]  # [C, L]
                 v_c = take_rows(v_old_t, blk.cols)  # [C, F]
-                h = x * (q_g - x * v_c.T[:, :, None])
-                she = _psum((h * e_g[None]).sum(-1)).T  # [C, F]
-                sh2 = _psum((h * h).sum(-1)).T
                 mu_g = take_rows(mu_t, blk.cols)
                 lam_g = take_rows(lam_t, blk.cols)
-                v_mean = she - v_c * sh2
-                s2 = 1.0 / (lam_g + alpha * sh2)
-                mean = -s2 * (alpha * v_mean - mu_g * lam_g)
-                mean = jnp.where(jnp.isfinite(s2), mean, 0.0)
-                new_v = keep_finite(mean, v_c)
-                v_t = v_t.at[blk.cols].set(new_v)
-                dv_d = dv_d.at[blk.cols].set(v_c - new_v)
+                # batched statistics (one psum): h, she vs pre-bin e, sh2,
+                # and the cross-factor matrix M for the sequential-draw
+                # corrections (see docstring)
+                h = x[None] * (q_g - x[None] * v_c.T[:, :, None])  # [F, C, L]
+                s0 = (h * e_g[None]).sum(-1)  # [F, C]
+                probe = os.environ.get("SVBFM_VSWEEP_PROBE", "")
+                if exact_seq and probe != "nocorr":
+                    m_x = jnp.einsum("fcl,gcl->fgc", h, h)  # [F, F, C]
+                    s0, m_x = _psum((s0, m_x))
+                    sh2_all = jnp.diagonal(m_x).T  # [F, C] = sum h_f^2
+                else:
+                    s0, sh2_all = _psum((s0, (h * h).sum(-1)))
+                    m_x = None
+                if cfg.do_sample:
+                    zmat = take_cols(z_d, blk.cols)  # [F, C]
+                if exact_seq:
+                    corr = jnp.zeros((F, C), dtype)
+                    new_cols = []
+                    for f in range(F):
+                        she = s0[f] - corr[f]
+                        sh2 = sh2_all[f]
+                        v_cf = v_c[:, f]
+                        v_mean = she - v_cf * sh2
+                        s2 = 1.0 / (lam_g[:, f] + alpha * sh2)
+                        mean = -s2 * (alpha * v_mean - mu_g[:, f] * lam_g[:, f])
+                        val = mean + jnp.sqrt(s2) * zmat[f] if cfg.do_sample else mean
+                        val = jnp.where(jnp.isfinite(s2), val, 0.0)
+                        new_v = keep_finite(val, v_cf)
+                        # closed-form effect of this draw on later factors' h·e
+                        if m_x is not None:
+                            corr = corr + (v_cf - new_v)[None, :] * m_x[f]
+                        new_cols.append(new_v)
+                    new_v_cf = jnp.stack(new_cols, axis=1)  # [C, F]
+                else:
+                    # factor-Jacobi: all F conditionals from the pre-bin e
+                    she, sh2 = s0.T, sh2_all.T  # [C, F]
+                    v_mean = she - v_c * sh2
+                    s2 = 1.0 / (lam_g + alpha * sh2)
+                    mean = -s2 * (alpha * v_mean - mu_g * lam_g)
+                    if cfg.do_sample:
+                        mean = mean + jnp.sqrt(s2) * zmat.T
+                    mean = jnp.where(jnp.isfinite(s2), mean, 0.0)
+                    new_v_cf = keep_finite(mean, v_c)
+                v_t = v_t.at[blk.cols].set(new_v_cf)
+                dv_d = dv_d.at[blk.cols].set(v_c - new_v_cf)
             # exact per-bin patch (per-position flat gathers)
             vtab = jnp.concatenate([v_old_t.T, dv_d.T], axis=0)  # [2F, D]
             for p in range(ids.shape[1]):
@@ -145,18 +218,52 @@ def _als_v_blocked(e, v, v_mu, v_lambda, alpha, plan, row, cfg, F):
                 h_e = xp * (q - xp * v_e)
                 q = q - xp * dv_e
                 e = e - (h_e * dv_e).sum(0)
-        return e, v_t
+        return e, v_t, key
 
     for b in range(nb):
         fs = slice(b * F, (b + 1) * F)
         v_t = v[fs].T  # [D, F]
         mu_t = mu_dk[:, fs]
         lam_t = lam_dk[:, fs]
-        e, v_t = blk_step(e, v_t, mu_t, lam_t)
-        # unobserved columns take the prior mean
-        v_new = jnp.where(plan.unobserved[:, None], mu_t, v_t)
+        e, v_t, key = blk_step(e, v_t, mu_t, lam_t, key)
+        # unobserved columns: posterior == prior N(mu, 1/lambda)
+        key, sub = jax.random.split(key)
+        new_un = _maybe_sample(cfg.do_sample, sub, mu_t, 1.0 / lam_t, v_t)
+        v_new = jnp.where(plan.unobserved[:, None], new_un, v_t)
         v = v.at[fs].set(v_new.T)
-    return e, v
+    return e, v, key
+
+
+# Budget for the blocked sweep's big temps in PADDED f32 elements (~5 GB of
+# the 16 GB HBM): the [1+F, C, L] per-bin gather result and the [2F, N]/[F, N]
+# patch-pass temps.  _auto_factor_block picks the largest divisor of K that
+# fits; F=1 falls back to the factor-sequential scan (always safe).
+MCMC_BLOCK_BUDGET = 1280 * 1024 * 1024
+
+
+def _blocked_peak_elems(plan: SweepPlan, F: int, n_loc: int) -> int:
+    """Estimated peak padded-f32 temp elements of one _v_blocked_sweep block
+    pass: TPU pads the last two dims to (8, 128) sublane/lane tiles."""
+    c8 = lambda a: -(-a // 8) * 8
+    c128 = lambda a: -(-a // 128) * 128
+    gather = 0
+    for bin_blocks in plan.blocks:
+        # per bucket: gather result g [1+F, C, L] + h [F, C, L] + M [F, F, C]
+        tot = max(((1 + 2 * F) * c8(blk.rows.shape[1]) * c128(blk.rows.shape[2])
+                   + F * c8(F) * c128(blk.rows.shape[1]))
+                  for blk in bin_blocks)
+        gather = max(gather, tot)
+    # per-position patch: gg [2F, N] + h_e/dv products [F, N] + q/eq_t [F, N]
+    patch = (c8(2 * F) + 3 * c8(F)) * c128(n_loc)
+    return max(gather, patch)
+
+
+def _auto_factor_block(plan: SweepPlan, K: int, n_loc: int) -> int:
+    """Largest divisor of K whose blocked-sweep temps fit MCMC_BLOCK_BUDGET."""
+    for d in range(K, 1, -1):
+        if K % d == 0 and _blocked_peak_elems(plan, d, n_loc) <= MCMC_BLOCK_BUDGET:
+            return d
+    return 1
 
 
 def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
@@ -227,6 +334,11 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
 
         # --- w sweep (fm_learn_mcmc.h:671-718), gather-only binned form ---
         D = w.shape[0]
+        if cfg.do_sample:
+            # one [D] z-table per sweep (each column drawn exactly once:
+            # its bucket, or the unobserved prior draw) — avoids a
+            # per-bucket key-split/normal chain
+            zw_d = jax.random.normal(next_key(), (D,), dtype)
         for bin_blocks in plan.blocks:
             dw = jnp.zeros((D,), dtype)
             for blk in bin_blocks:
@@ -239,7 +351,12 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
                 w_mean = sxe - w_c * blk.sx2
                 s2 = 1.0 / (lam_g + alpha * blk.sx2)
                 mean = -s2 * (alpha * w_mean - mu_g * lam_g)
-                new_w = _maybe_sample(cfg.do_sample, next_key(), mean, s2, w_c)
+                if cfg.do_sample:
+                    val = mean + jnp.sqrt(s2) * _gather(zw_d, blk.cols)
+                else:
+                    val = mean
+                val = jnp.where(jnp.isfinite(s2), val, jnp.zeros_like(val))
+                new_w = keep_finite(val, w_c)
                 w = w.at[blk.cols].set(new_w)
                 dw = dw.at[blk.cols].set(w_c - new_w)
             # one row-layout residual patch per bin: e -= x * (w_old - w_new)
@@ -250,7 +367,12 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
         mu_d = _gather(w_mu, plan.attr_group)
         lam_d = _gather(w_lambda, plan.attr_group)
         s2_d = 1.0 / lam_d
-        new_un = _maybe_sample(cfg.do_sample, next_key(), mu_d, s2_d, w)
+        if cfg.do_sample:
+            un = mu_d + jnp.sqrt(s2_d) * zw_d  # zw_d unused for observed cols
+            un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
+        else:
+            un = jnp.where(jnp.isfinite(s2_d), mu_d, jnp.zeros_like(mu_d))
+        new_un = keep_finite(un, w)
         w = jnp.where(plan.unobserved, new_un, w)
 
     # --- group hyperpriors for v (fm_learn_mcmc.h:1011-1089) ---
@@ -275,19 +397,20 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
         else:
             v_mu = jnp.full((G, K), mu_0, dtype)
 
-        # --- v sweeps, factor-major (fm_learn_mcmc.h:510-622, 780-835) ---
-        # Factor execution: Gibbs keeps the reference's factor-sequential
-        # chain; deterministic ALS (do_sample=False) defaults to the
-        # factor-blocked Jacobi sweep (channel-stacked gathers, O(1) index
-        # passes per bin — same scheme/argument as learners.vb: the e/q
-        # patches remain exact because the FM score is additive over
-        # factors).  cfg.factor_block=1 forces sequential for both.
+        # --- v sweeps (fm_learn_mcmc.h:510-622, 780-835) ---
+        # Factor execution: both Gibbs and ALS default to the factor-blocked
+        # channel-stacked sweep (O(1) index passes per bin; conditionals stay
+        # exact via in-bin sequential e_g updates, see _v_blocked_sweep).
+        # cfg.factor_block=1 forces the reference's factor-major sequential
+        # chain (the exact reference coordinate ordering).
         D = v.shape[1]
-        F_eff = 1 if (cfg.do_sample or cfg.factor_block == 1) else \
+        F_eff = 1 if cfg.factor_block == 1 else \
             (min(cfg.factor_block, K) if cfg.factor_block > 0 else K)
         if F_eff > 1 and K % F_eff == 0:
-            e, v = _als_v_blocked(e, v, v_mu, v_lambda, alpha, plan, row,
-                                  cfg, F_eff)
+            exact = os.environ.get("SVBFM_VSWEEP_PROBE", "") != "jacobi"
+            e, v, key = _v_blocked_sweep(e, v, v_mu, v_lambda, alpha, plan,
+                                         row, cfg, F_eff, key,
+                                         exact_seq=exact)
             v_done = True
         else:
             v_done = False
@@ -393,6 +516,14 @@ class MCMCLearner:
                                     meta_groups=meta.attr_group, bins=bins, n_shards=n)
         self.train_row, self.train_n = build_row_data(self.mesh, train)
         self.test_row, self.test_n = build_row_data(self.mesh, test)
+        if cfg.factor_block == 0 and cfg.num_factor > 1:
+            # auto-pick the factor block so the channel-stacked sweep's
+            # temps fit HBM (falls to 1 = factor-sequential when nothing fits)
+            import dataclasses
+            n_loc = self.train_row.ids.shape[0] // n
+            fb = _auto_factor_block(self.plan, cfg.num_factor, n_loc)
+            cfg = dataclasses.replace(cfg, factor_block=fb)
+            self.cfg = cfg
         self.plan_data = build_plan_data(self.mesh, self.plan, meta)
         self.test_target_np = np.asarray(test.target[: test.num_rows])
         self.train_target = self.train_row.target
@@ -424,15 +555,27 @@ class MCMCLearner:
         self._scores = jax.jit(scores_fn)
         self._fused_cache = {}
 
-    def _iter_body(self, carry, row, plan, trow, it0):
+    # Extra device args threaded through the fused programs (the BS learner
+    # passes its relation structures here); specs must mirror them.
+    _extra_args: tuple = ()
+    _extra_specs: tuple = ()
+
+    def _draw_inprog(self, state, row, plan, *extras):
+        return mcmc_draw_all(state, row, plan, self.cfg, float(self.train_n))
+
+    def _test_scores_inprog(self, state, trow, *extras):
+        cfg = self.cfg
+        return fm_scores(state.w0, state.w, state.v, trow.ids, trow.vals,
+                         k0=cfg.k0, k1=cfg.k1)
+
+    def _iter_body(self, carry, row, plan, trow, it0, *extras):
         """One Gibbs draw + in-program eval with running posterior-mean
         accumulators (pred_sum_all / all_but5,
         fm_learn_mcmc_simultaneous.h:152-302).  Runs inside shard_map."""
         cfg = self.cfg
         state, psum_all, psum_but5, it = carry
-        state = mcmc_draw_all(state, row, plan, cfg, float(self.train_n))
-        scores = fm_scores(state.w0, state.w, state.v, trow.ids, trow.vals,
-                           k0=cfg.k0, k1=cfg.k1)
+        state = self._draw_inprog(state, row, plan, *extras)
+        scores = self._test_scores_inprog(state, trow, *extras)
         nt = jnp.asarray(float(self.test_n), scores.dtype)
         itf = it.astype(scores.dtype)
         if cfg.task == TASK_REGRESSION:
@@ -507,9 +650,9 @@ class MCMCLearner:
             return self._fused_cache[chunk]
         shd = P(DATA_AXIS)
 
-        def multi(state, psum_all, psum_but5, it0, row, plan, trow):
+        def multi(state, psum_all, psum_but5, it0, row, plan, trow, *extras):
             def body(carry, _):
-                return self._iter_body(carry, row, plan, trow, it0)
+                return self._iter_body(carry, row, plan, trow, it0, *extras)
 
             (state, psum_all, psum_but5, it), metrics = jax.lax.scan(
                 body, (state, psum_all, psum_but5, it0), None, length=chunk)
@@ -518,7 +661,8 @@ class MCMCLearner:
         fn = jax.jit(jax.shard_map(
             multi, mesh=self.mesh,
             in_specs=(_state_specs(), shd, shd, P(), _row_specs(),
-                      plan_specs_for(self.plan_data), _row_specs()),
+                      plan_specs_for(self.plan_data), _row_specs(),
+                      *self._extra_specs),
             out_specs=(_state_specs(), shd, shd, P(), P()),
         ))
         self._fused_cache[chunk] = fn
@@ -608,7 +752,7 @@ class MCMCLearner:
             t0 = _time.perf_counter()
             state, psum_all, psum_but5, it_dev, metrics = fn(
                 state, psum_all, psum_but5, it_dev, self.train_row,
-                self.plan_data, self.test_row)
+                self.plan_data, self.test_row, *self._extra_args)
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
             iter_wall = (_time.perf_counter() - t0) / n
             for j in range(n):

@@ -551,3 +551,69 @@ class ExpSGDOracle:
                                       + self.regv * self.v[f, j]) / n
                 q[ri] -= x * (v_old - self.v[f, j])
                 e[ri] -= h * (v_old - self.v[f, j])
+
+
+class BinOrderALSOracle(ALSOracle):
+    """ALSOracle with the blocked sweep's coordinate ordering: conflict-free
+    bins outermost, then factors, then the bin's columns (learners.mcmc
+    ._v_blocked_sweep).  Within a bin all columns have disjoint row sets, so
+    only the bin->factor nesting differs from the reference's factor-major
+    chain; this oracle pins the closed-form cross-factor corrections
+    (she_f -= sum_{f'<f} dv_f' M[f',f]) to exact serial Gauss-Seidel."""
+
+    def __init__(self, *args, color=None, factor_block=0, **kw):
+        super().__init__(*args, **kw)
+        assert color is not None  # plan.color: bin id per column
+        self.color = np.asarray(color)
+        self.F = factor_block if factor_block > 0 else self.K
+
+    def iterate(self):
+        alpha = self.alpha
+        bins = [np.flatnonzero(self.color == b)
+                for b in range(int(self.color.max()) + 1)]
+        if self.k0:
+            acc = np.sum(self.e - self.w0)
+            s2 = 1.0 / (self.reg0 + alpha * self.N)
+            new_w0 = -s2 * alpha * acc
+            self.e -= self.w0 - new_w0
+            self.w0 = new_w0
+        if self.k1:
+            for cols_b in bins:
+                for i in cols_b:
+                    r, x = self.cols.col(i)
+                    if len(r) == 0:
+                        self.w[i] = 0.0
+                        continue
+                    sx2 = np.sum(x * x)
+                    w_mean = np.sum(x * self.e[r]) - self.w[i] * sx2
+                    s2 = 1.0 / (self.regw + alpha * sx2)
+                    new_w = -s2 * alpha * w_mean
+                    self.e[r] -= x * (self.w[i] - new_w)
+                    self.w[i] = new_w
+        for b0 in range(0, self.K, self.F):
+            fs = range(b0, min(b0 + self.F, self.K))
+            q = np.zeros((self.K, self.N))
+            for f in fs:
+                np.add.at(q[f], self.row, self.v[f, self.col] * self.val)
+            for cols_b in bins:
+                for f in fs:
+                    for i in cols_b:
+                        r, x = self.cols.col(i)
+                        if len(r) == 0:
+                            self.v[f, i] = 0.0
+                            continue
+                        vv = self.v[f, i]
+                        h = x * (q[f][r] - x * vv)
+                        sh2 = np.sum(h * h)
+                        v_mean = np.sum(h * self.e[r]) - vv * sh2
+                        s2 = 1.0 / (self.regv + alpha * sh2)
+                        new_v = -s2 * alpha * v_mean
+                        dv = vv - new_v
+                        q[f][r] -= x * dv
+                        self.e[r] -= h * dv
+                        self.v[f, i] = new_v
+        yhat = fm_scores_dense(self.w0 if self.k0 else 0.0,
+                               self.w if self.k1 else np.zeros(self.D),
+                               self.v, self.row, self.col, self.val, self.N)
+        self.e = yhat - self.y
+        return self.e

@@ -8,7 +8,7 @@ from svbfm_tpu.learners.base import FMConfig, TASK_CLASSIFICATION
 from svbfm_tpu.learners.mcmc import ALSLearner, MCMCLearner
 from svbfm_tpu.parallel.mesh import make_mesh
 
-from oracle import ALSOracle
+from oracle import ALSOracle, BinOrderALSOracle
 
 
 def _setup(num_rows=96, num_users=9, num_items=7, K=3, n_dev=1, seed=2,
@@ -86,6 +86,78 @@ def test_mcmc_classification():
                           write_files=False)
     state, history = learner.run(num_iter=10, verbose=False)
     assert history[-1]["accuracy"] > 0.6
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_als_blocked_matches_binorder_oracle(n_dev):
+    """The factor-blocked sweep's closed-form cross-factor corrections must
+    reproduce exact serial Gauss-Seidel in its (bin, factor, column)
+    coordinate order — pinned by a float64 oracle walking that order.
+    (Factor-Jacobi within bins, the pre-round-2 scheme, fails this.)"""
+    tr, te, cfg, meta, mesh = _setup(n_dev=n_dev, K=4, regw=0.05, regv=0.05)
+    D = cfg.num_attributes
+    learner = ALSLearner(cfg, SparseDataset.from_coo(tr, D),
+                         SparseDataset.from_coo(te, D), meta, mesh=mesh,
+                         write_files=False)
+    assert learner.cfg.factor_block == 4  # auto -> full block on tiny data
+    state = learner.init_state()
+    orc = BinOrderALSOracle(tr.row, tr.col, tr.val, tr.target, D,
+                            cfg.num_factor, groups=meta.attr_group,
+                            regw=0.05, regv=0.05, color=learner.plan.color)
+    orc.init(float(state.w0), np.asarray(state.w), np.asarray(state.v))
+    for it in range(3):
+        state = learner._step(state, learner.train_row, learner.plan_data)
+        orc.iterate()
+        np.testing.assert_allclose(float(state.w0), orc.w0, rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(state.w), orc.w, rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(state.v), orc.v, rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(state.e)[: tr.num_rows], orc.e,
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_gibbs_blocked_matches_sequential_closely():
+    """Factor-blocked Gibbs (channel-stacked gathers, in-bin sequential e_g
+    updates) is a valid scan-order permutation of the reference chain: the
+    posterior-mean RMSE trajectory should land where the factor-sequential
+    sampler does."""
+    import dataclasses
+    tr, te, cfg, meta, mesh = _setup(num_rows=3000, num_users=30, num_items=25,
+                                     K=4)
+    D = cfg.num_attributes
+    l_blk = MCMCLearner(cfg, SparseDataset.from_coo(tr, D),
+                        SparseDataset.from_coo(te, D), meta, mesh=mesh,
+                        write_files=False)  # factor_block=0 -> blocked
+    assert l_blk.cfg.factor_block == 4  # auto pick kept the full block
+    l_seq = MCMCLearner(dataclasses.replace(cfg, factor_block=1),
+                        SparseDataset.from_coo(tr, D),
+                        SparseDataset.from_coo(te, D), meta, mesh=mesh,
+                        write_files=False)
+    s_b, h_b = l_blk.run(num_iter=15, verbose=False)
+    s_q, h_q = l_seq.run(num_iter=15, verbose=False)
+    assert abs(h_b[-1]["rmse"] - h_q[-1]["rmse"]) < 0.08
+    assert h_b[-1]["rmse"] < 1.0
+
+
+def test_auto_factor_block_clamps_to_budget(monkeypatch):
+    """The auto factor block must pick a divisor of K whose temps fit the
+    padded-element budget, and fall to 1 (sequential) when nothing fits."""
+    import svbfm_tpu.learners.mcmc as M
+    tr, te, cfg, meta, mesh = _setup(K=6)
+    D = cfg.num_attributes
+    learner = MCMCLearner(cfg, SparseDataset.from_coo(tr, D),
+                          SparseDataset.from_coo(te, D), meta, mesh=mesh,
+                          write_files=False)
+    assert learner.cfg.factor_block == 6  # tiny data: full block fits
+    peak6 = M._blocked_peak_elems(learner.plan, 6, 96)
+    assert peak6 > 0
+    # shrink the budget below the F=2 peak: only F=1 remains
+    monkeypatch.setattr(M, "MCMC_BLOCK_BUDGET",
+                        M._blocked_peak_elems(learner.plan, 2, 96) - 1)
+    assert M._auto_factor_block(learner.plan, 6, 96) == 1
+    # budget exactly at the F=3 peak: picks 3, skipping 6
+    monkeypatch.setattr(M, "MCMC_BLOCK_BUDGET",
+                        M._blocked_peak_elems(learner.plan, 3, 96))
+    assert M._auto_factor_block(learner.plan, 6, 96) == 3
 
 
 def test_als_blocked_matches_sequential_closely():
