@@ -238,7 +238,12 @@ def main(argv: Optional[list[str]] = None) -> int:
     if cmd.has("meta"):
         meta.load_groups_from_file(cmd.get_str("meta"))
 
-    # relational block structure (libfm.cpp:188-256): join expanded at load
+    # relational block structure (libfm.cpp:188-256).  MCMC/ALS exploit the
+    # blocks natively (fm_learn_mcmc.h:459-620, never materializing the
+    # join — see learners.mcmc_bs); every other learner gets the
+    # model-identical expanded design matrix (our extension: the reference
+    # only supports BS for MCMC/ALS).
+    bs_native = None
     if cmd.has("relation"):
         from svbfm_tpu.data.relation import (RelationData, build_joined_meta,
                                              join_relations, load_join)
@@ -247,8 +252,11 @@ def main(argv: Optional[list[str]] = None) -> int:
         tr_joins = [load_join(pfx + ".train", train.num_rows) for pfx in prefixes]
         te_joins = [load_join(pfx + ".test", test.num_rows) for pfx in prefixes]
         meta = build_joined_meta(meta, rels)
-        train = join_relations(train, rels, tr_joins, D)
-        test = join_relations(test, rels, te_joins, D)
+        if method == "mcmc":
+            bs_native = (rels, tr_joins, te_joins, D)
+        else:
+            train = join_relations(train, rels, tr_joins, D)
+            test = join_relations(test, rels, te_joins, D)
         D = meta.num_attributes
     G = meta.num_attr_groups
 
@@ -294,10 +302,18 @@ def main(argv: Optional[list[str]] = None) -> int:
     rlog = RLog(cmd.get_str("rlog") or None)
 
     if method == "mcmc":
-        from svbfm_tpu.learners.mcmc import ALSLearner, MCMCLearner
-        cls = ALSLearner if als else MCMCLearner
-        learner = cls(cfg, tr_ds, te_ds, meta, bins=bins,
-                      w_lambda_init=w_lambda, v_lambda_init=v_lambda)
+        if bs_native is not None:
+            from svbfm_tpu.learners.mcmc_bs import ALSBSLearner, MCMCBSLearner
+            cls = ALSBSLearner if als else MCMCBSLearner
+            rels_l, trj, tej, d_main = bs_native
+            learner = cls(cfg, tr_ds, te_ds, rels_l, trj, tej, meta, d_main,
+                          bins=bins, w_lambda_init=w_lambda,
+                          v_lambda_init=v_lambda)
+        else:
+            from svbfm_tpu.learners.mcmc import ALSLearner, MCMCLearner
+            cls = ALSLearner if als else MCMCLearner
+            learner = cls(cfg, tr_ds, te_ds, meta, bins=bins,
+                          w_lambda_init=w_lambda, v_lambda_init=v_lambda)
     elif method == "vb":
         from svbfm_tpu.learners.vb import VBLearner
         learner = VBLearner(cfg, tr_ds, te_ds, meta, bins=bins)

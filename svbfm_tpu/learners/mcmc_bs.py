@@ -1,0 +1,728 @@
+"""Native relational block structure (BS) for MCMC/ALS.
+
+TPU-native re-design of the reference's block-structure Gibbs sampler
+(``fm_learn_mcmc.h:134-220`` predict, ``:459-620`` draw_all with relations,
+``:722-780`` draw_w_rel, ``:842-899`` draw_v_rel; VLDB'13 "Scaling
+Factorization Machines to Relational Data").  Unlike
+:func:`svbfm_tpu.data.relation.join_relations`, which materializes the join
+into a flat design matrix, this learner keeps every relation table factored
+on device: memory and per-iteration compute scale with
+``O(N + sum_r nnz(rel_r) + sum_r rows(rel_r))`` — never with the expanded
+design matrix.
+
+Algorithm (per factor f, per relation r), exactly the reference's algebra:
+
+  per-relation-row caches over the join  (``relation_cache``):
+    wnum[rho]  = #train rows joined to rho                      (static)
+    qB[rho]    = sum_i v[f, off+i] x_rho,i                      (per factor)
+    we[rho]    = sum_{n: j(n)=rho} e_n
+    weq[rho]   = sum e_n qO_n          with qO_n = q_n - qB[j(n)]
+    wc[rho]    = sum qO_n
+    wc2[rho]   = sum qO_n^2
+
+  conditional for relation attribute i (``draw_v_rel``):
+    h_rho = x (qB[rho] - x v)
+    she   = sum_rho  h_rho we + x weq
+    sh2   = sum_rho  h^2 wnum + 2 wc x h + x^2 wc2
+
+  after a conflict-free bin updates its columns, the caches are patched in
+  closed form at the *relation* level (one relation-row-layout pass), and the
+  data-level e/q caches are resynced once per (relation, factor) with
+  ``e += dy[j] + qO * dqB[j]`` — the desync/resync pair of the reference
+  collapses to these deltas, so the per-data-row work per factor is O(N)
+  regardless of the relation widths.
+
+Execution: the per-rho aggregates are computed with the same degree-bucketed
+``[C, L]`` masked row-sums as the column sweeps (a "join plan" built by
+:class:`svbfm_tpu.data.dataset.SweepPlan` over the join index), sharded over
+the data axis with one psum; the relation sweeps themselves are replicated
+[R]-level compute with zero communication.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import PartitionSpec as P
+
+from svbfm_tpu.data.dataset import SparseDataset, SweepPlan
+from svbfm_tpu.data.libfm_text import COOData
+from svbfm_tpu.data.meta import DataMetaInfo
+from svbfm_tpu.data.relation import RelationData
+from svbfm_tpu.learners.base import (
+    FMConfig,
+    TASK_REGRESSION,
+    build_plan_data,
+    build_row_data,
+    keep_finite,
+    plan_specs_for,
+)
+from svbfm_tpu.learners.mcmc import (
+    MCMCLearner,
+    MCMCState,
+    _gather,
+    _maybe_sample,
+    _psum,
+    _row_specs,
+    _state_specs,
+)
+from svbfm_tpu.ops.segment import take_cols, take_rows
+from svbfm_tpu.parallel.mesh import DATA_AXIS, put_replicated, shard_rows
+
+
+# ---------------------------------------------------------------------------
+# Device structures
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class JoinBlock:
+    """One degree-bucket of the join plan: data rows grouped by relation row."""
+
+    rows: jax.Array  # int32 [S, C, L] local data-row ids (sharded)
+    x: jax.Array  # f32 [S, C, L] 1.0 real / 0.0 pad (sharded)
+    cols: jax.Array  # int32 [C] relation row ids (replicated)
+
+
+@struct.dataclass
+class RelBlock:
+    """One degree-bucket of one conflict-free bin of the relation design."""
+
+    rows: jax.Array  # int32 [C, L] relation row ids (replicated)
+    x: jax.Array  # f32 [C, L]
+    cols: jax.Array  # int32 [C] relation-local attribute ids
+    group: jax.Array  # int32 [C] JOINED-global group ids
+
+
+@struct.dataclass
+class RelDevice:
+    """All device arrays of one relation block."""
+
+    rrow_ids: jax.Array  # int32 [R, Pr] relation-local attr ids (replicated)
+    rrow_vals: jax.Array  # f32 [R, Pr]
+    join_tr: jax.Array  # int32 [N] train join (sharded)
+    join_te: jax.Array  # int32 [N_te] test join (sharded)
+    wnum: jax.Array  # f32 [R] train rows per relation row (replicated)
+    jplan: tuple  # tuple[JoinBlock, ...]
+    rplan: tuple  # tuple[tuple[RelBlock, ...], ...] bins -> buckets
+    unobserved: jax.Array  # bool [Dr] attrs with no entry in the relation
+    attr_group: jax.Array  # int32 [Dr] JOINED-global group of each attr
+
+
+@dataclass(frozen=True)
+class RelStatic:
+    """Static (Python) facts about one relation block."""
+
+    attr_offset: int
+    num_attrs: int  # Dr
+    num_rows: int  # R
+
+
+def _build_rel_device(mesh, rel: RelationData, join_tr: np.ndarray,
+                      join_te: np.ndarray, joined_groups: np.ndarray,
+                      n_train_pad: int, n_test_pad: int,
+                      bins: str = "auto") -> tuple[RelDevice, RelStatic]:
+    n = mesh.devices.size
+    R, Dr = rel.num_rows, rel.num_features
+    off = rel.attr_offset
+    assert off >= 0, "call build_joined_meta before building relation devices"
+
+    # relation row layout [R, Pr] (relation-local ids)
+    rel_ds = SparseDataset.from_coo(
+        COOData(row=rel.row, col=rel.col, val=rel.val,
+                target=np.zeros(R, np.float32), num_rows=R, num_features=Dr))
+    # join plan: one Jacobi bin of degree-bucketed [C, L] lists, columns =
+    # relation rows, entries = train data rows (sharded like the data);
+    # padding data rows are absent from the plan (x=0 masks in every sum)
+    jcoo = COOData(row=np.arange(len(join_tr), dtype=np.int32),
+                   col=join_tr.astype(np.int32),
+                   val=np.ones(len(join_tr), np.float32),
+                   target=np.zeros(len(join_tr), np.float32),
+                   num_rows=len(join_tr), num_features=R)
+    jplan = SweepPlan.build(jcoo, R, bins="jacobi", n_shards=n,
+                            n_rows_total=n_train_pad)
+    # relation design plan: conflict-free bins within the relation
+    rcoo = COOData(row=rel.row, col=rel.col, val=rel.val,
+                   target=np.zeros(R, np.float32), num_rows=R,
+                   num_features=Dr)
+    rplan = SweepPlan.build(rcoo, Dr, meta_groups=joined_groups[off: off + Dr],
+                            bins=bins, n_shards=1)
+    wnum = np.bincount(join_tr, minlength=R).astype(np.float32)
+
+    jte = np.zeros(n_test_pad, np.int32)
+    jte[: len(join_te)] = join_te.astype(np.int32)
+    jtr = np.zeros(n_train_pad, np.int32)
+    jtr[: len(join_tr)] = join_tr.astype(np.int32)
+
+    dev = RelDevice(
+        rrow_ids=put_replicated(mesh, rel_ds.ids),
+        rrow_vals=put_replicated(mesh, rel_ds.vals),
+        join_tr=shard_rows(mesh, jtr),
+        join_te=shard_rows(mesh, jte),
+        wnum=put_replicated(mesh, wnum),
+        jplan=tuple(
+            JoinBlock(rows=shard_rows(mesh, blk.rows),
+                      x=shard_rows(mesh, blk.x),
+                      cols=put_replicated(mesh, blk.cols))
+            for blk in jplan.blocks[0]),
+        rplan=tuple(
+            tuple(RelBlock(rows=put_replicated(mesh, blk.rows[0]),
+                           x=put_replicated(mesh, blk.x[0]),
+                           cols=put_replicated(mesh, blk.cols),
+                           group=put_replicated(mesh, blk.group))
+                  for blk in bin_blocks)
+            for bin_blocks in rplan.blocks),
+        unobserved=put_replicated(mesh, rplan.unobserved),
+        attr_group=put_replicated(
+            mesh, joined_groups[off: off + Dr].astype(np.int32)),
+    )
+    return dev, RelStatic(attr_offset=off, num_attrs=Dr, num_rows=R)
+
+
+def _rel_specs(dev: RelDevice) -> RelDevice:
+    rep, shd = P(), P(DATA_AXIS)
+    return RelDevice(
+        rrow_ids=rep, rrow_vals=rep, join_tr=shd, join_te=shd, wnum=rep,
+        jplan=tuple(JoinBlock(rows=shd, x=shd, cols=rep) for _ in dev.jplan),
+        rplan=tuple(tuple(RelBlock(rows=rep, x=rep, cols=rep, group=rep)
+                          for _ in bb) for bb in dev.rplan),
+        unobserved=rep, attr_group=rep)
+
+
+# ---------------------------------------------------------------------------
+# BS forward scoring (predict without materializing the join)
+# ---------------------------------------------------------------------------
+
+def bs_scores(w0, w, v, ids, vals, rels, rstats, joins, k0=True, k1=True,
+              factor_chunk: Optional[int] = None):
+    """FM scores over a dataset given its main row layout + per-relation
+    joins.  Mirrors ``predict_data_and_write_to_eterms``
+    (fm_learn_mcmc.h:116-300) at O(nnz_main + sum nnz_rel + N*|B|) per
+    factor."""
+    N = ids.shape[0]
+    K = v.shape[0]
+    dtype = v.dtype
+    acc = jnp.zeros((N,), dtype)
+    if k0:
+        acc = acc + w0
+    if k1:
+        for p in range(ids.shape[1]):
+            acc = acc + jnp.take(w, ids[:, p], axis=-1) * vals[:, p]
+        for rd, rs, j in zip(rels, rstats, joins):
+            wr = jax.lax.dynamic_slice_in_dim(w, rs.attr_offset, rs.num_attrs)
+            lin = jnp.zeros((rs.num_rows,), dtype)
+            for p in range(rd.rrow_ids.shape[1]):
+                lin = lin + jnp.take(wr, rd.rrow_ids[:, p]) * rd.rrow_vals[:, p]
+            acc = acc + jnp.take(lin, j)
+    if K == 0:
+        return acc
+    chunk = K if factor_chunk is None else min(factor_chunk, K)
+    if K % chunk != 0:
+        chunk = K
+
+    def blk(v_blk):  # [F, D_all]
+        F = v_blk.shape[0]
+        s = jnp.zeros((F, N), dtype)
+        s2 = jnp.zeros((F, N), dtype)
+        for p in range(ids.shape[1]):
+            d = jnp.take(v_blk, ids[:, p], axis=-1) * vals[:, p]
+            s = s + d
+            s2 = s2 + d * d
+        for rd, rs, j in zip(rels, rstats, joins):
+            vr = jax.lax.dynamic_slice_in_dim(v_blk, rs.attr_offset,
+                                              rs.num_attrs, axis=1)
+            qB = jnp.zeros((F, rs.num_rows), dtype)
+            sB = jnp.zeros((F, rs.num_rows), dtype)
+            for p in range(rd.rrow_ids.shape[1]):
+                d = jnp.take(vr, rd.rrow_ids[:, p], axis=-1) * rd.rrow_vals[:, p]
+                qB = qB + d
+                sB = sB + d * d
+            g = take_cols(jnp.concatenate([qB, sB], axis=0), j)  # [2F, N]
+            s = s + g[:F]
+            s2 = s2 + g[F:]
+        return 0.5 * (s * s - s2).sum(0)
+
+    if chunk == K:
+        return acc + blk(v)
+    for c0 in range(0, K, chunk):
+        acc = acc + blk(jax.lax.dynamic_slice_in_dim(v, c0, chunk))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# BS Gibbs / ALS draw
+# ---------------------------------------------------------------------------
+
+def _join_aggregate(channels, jplan):
+    """Sum each [N]-channel per relation row over the join plan's buckets.
+
+    channels: [CH, N] stacked data-level values.  Returns [CH, R] psum'd
+    aggregates."""
+    outs = []
+    for blk in jplan:
+        g = take_cols(channels, blk.rows[0])  # [CH, C, L]
+        part = (g * blk.x[0][None]).sum(-1)  # [CH, C]
+        outs.append((blk.cols, part))
+    return outs  # list of (cols [C], partial [CH, C]) — caller psums/scatters
+
+
+def _scatter_agg(R, parts, dtype):
+    """[CH, R] table from per-bucket [CH, C] partials ([C]-sized writes)."""
+    CH = parts[0][1].shape[0]
+    out = jnp.zeros((CH, R), dtype)
+    for cols, part in parts:
+        out = out.at[:, cols].set(part)
+    return out
+
+
+def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
+                     rstats, num_cases: float):
+    """One block-structure Gibbs/ALS sweep + full re-predict of the train
+    e-cache.  Runs inside shard_map.  Main-block draws follow
+    fm_learn_mcmc.h:411-458 exactly as learners.mcmc; relation draws follow
+    draw_w_rel/draw_v_rel (:722-780, :842-899) with conflict-free bins inside
+    each relation."""
+    dtype = state.w.dtype
+    alpha_0 = gamma_0 = beta_0 = 1.0
+    mu_0 = 0.0
+    w0_mean_0 = 0.0
+    G, K = cfg.num_groups, cfg.num_factor
+    N = jnp.asarray(num_cases, dtype)
+    e = state.e
+    key = state.key
+
+    def next_key():
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return sub
+
+    # --- alpha ---
+    alpha = state.alpha
+    if cfg.do_multilevel:
+        sse = _psum(jnp.sum(e * e * row.valid))
+        draw = jax.random.gamma(next_key(), (alpha_0 + N) / 2.0,
+                                dtype=dtype) / ((gamma_0 + sse) / 2.0)
+        alpha = keep_finite(draw, alpha)
+    else:
+        alpha = jnp.asarray(alpha_0, dtype)
+
+    # --- w0 ---
+    w0 = state.w0
+    if cfg.k0:
+        acc = _psum(jnp.sum((e - w0) * row.valid))
+        s2 = 1.0 / (cfg.reg0 + alpha * N)
+        mean = -s2 * (alpha * acc - w0_mean_0 * cfg.reg0)
+        new_w0 = _maybe_sample(cfg.do_sample, next_key(), mean, s2, w0,
+                               zero_on_bad_sigma=False)
+        e = e - (w0 - new_w0)
+        w0 = new_w0
+
+    w, v = state.w, state.v
+    w_mu, w_lambda = state.w_mu, state.w_lambda
+    v_mu, v_lambda = state.v_mu, state.v_lambda
+    D_all = w.shape[0]
+
+    # --- group hyperpriors for w (joined groups cover relation attrs) ---
+    if cfg.k1:
+        if cfg.do_multilevel:
+            dev = jax.ops.segment_sum((w - _gather(w_mu, plan.attr_group)) ** 2,
+                                      plan.attr_group, num_segments=G)
+            lam_gamma = beta_0 * (w_mu - mu_0) ** 2 + gamma_0 + dev
+            lam_alpha = alpha_0 + plan.num_attr_per_group + 1.0
+            if cfg.do_sample:
+                draw = jax.random.gamma(next_key(), lam_alpha / 2.0,
+                                        dtype=dtype) / (lam_gamma / 2.0)
+            else:
+                draw = lam_alpha / lam_gamma
+            w_lambda = keep_finite(draw, w_lambda)
+            wsum = jax.ops.segment_sum(w, plan.attr_group, num_segments=G)
+            mu_mean = (wsum + beta_0 * mu_0) / (plan.num_attr_per_group + beta_0)
+            mu_s2 = 1.0 / ((plan.num_attr_per_group + beta_0) * w_lambda)
+            w_mu = _maybe_sample(cfg.do_sample, next_key(), mu_mean, mu_s2,
+                                 w_mu, zero_on_bad_sigma=False)
+        else:
+            w_mu = jnp.full((G,), mu_0, dtype)
+
+        # --- main-block w sweep (draw_w, fm_learn_mcmc.h:671-718) ---
+        for bin_blocks in plan.blocks:
+            dw = jnp.zeros((D_all,), dtype)
+            for blk in bin_blocks:
+                rows, x = blk.rows[0], blk.x[0]
+                w_c = _gather(w, blk.cols)
+                mu_g = _gather(w_mu, blk.group)
+                lam_g = _gather(w_lambda, blk.group)
+                e_g = _gather(e, rows)
+                sxe = _psum((x * e_g).sum(-1))
+                w_mean = sxe - w_c * blk.sx2
+                s2 = 1.0 / (lam_g + alpha * blk.sx2)
+                mean = -s2 * (alpha * w_mean - mu_g * lam_g)
+                new_w = _maybe_sample(cfg.do_sample, next_key(), mean, s2, w_c)
+                w = w.at[blk.cols].set(new_w)
+                dw = dw.at[blk.cols].set(w_c - new_w)
+            for p in range(row.ids.shape[1]):
+                e = e - row.vals[:, p] * jnp.take(dw, row.ids[:, p])
+        # unobserved MAIN attrs -> prior (relation attrs handled below)
+        mu_d = _gather(w_mu, plan.attr_group)
+        lam_d = _gather(w_lambda, plan.attr_group)
+        new_un = _maybe_sample(cfg.do_sample, next_key(), mu_d, 1.0 / lam_d, w)
+        w = jnp.where(plan.unobserved, new_un, w)
+
+        # --- relation w sweeps (draw_w_rel, fm_learn_mcmc.h:722-780) ---
+        for rd, rs in zip(rels, rstats):
+            R, Dr, off = rs.num_rows, rs.num_attrs, rs.attr_offset
+            parts = _join_aggregate(e[None], rd.jplan)
+            parts = [(c, _psum(p)) for c, p in parts]
+            we = _scatter_agg(R, parts, dtype)[0]  # [R] sum of e per rho
+            wr = jax.lax.dynamic_slice_in_dim(w, off, Dr)
+            dy = jnp.zeros((R,), dtype)
+            for bin_blocks in rd.rplan:
+                w_old_r = wr
+                dwr = jnp.zeros((Dr,), dtype)
+                for blk in bin_blocks:
+                    g = take_cols(jnp.stack([we, rd.wnum]), blk.rows)  # [2,C,L]
+                    x = blk.x
+                    we_g, wn_g = g[0], g[1]
+                    w_c = _gather(w_old_r, blk.cols)
+                    mu_g = _gather(w_mu, blk.group)
+                    lam_g = _gather(w_lambda, blk.group)
+                    she = (x * we_g).sum(-1)
+                    sh2 = (x * x * wn_g).sum(-1)
+                    w_mean = she - w_c * sh2
+                    s2 = 1.0 / (lam_g + alpha * sh2)
+                    mean = -s2 * (alpha * w_mean - mu_g * lam_g)
+                    new_w = _maybe_sample(cfg.do_sample, next_key(), mean, s2,
+                                          w_c)
+                    wr = wr.at[blk.cols].set(new_w)
+                    dwr = dwr.at[blk.cols].set(w_c - new_w)
+                # relation-row-layout patch: we -= x dv wnum ; y += -x dv
+                for p in range(rd.rrow_ids.shape[1]):
+                    dv_e = jnp.take(dwr, rd.rrow_ids[:, p])
+                    xp = rd.rrow_vals[:, p]
+                    we = we - xp * dv_e * rd.wnum
+                    dy = dy - xp * dv_e
+            # unobserved relation attrs -> prior
+            mu_d = _gather(w_mu, rd.attr_group)
+            lam_d = _gather(w_lambda, rd.attr_group)
+            new_un = _maybe_sample(cfg.do_sample, next_key(), mu_d,
+                                   1.0 / lam_d, wr)
+            wr = jnp.where(rd.unobserved, new_un, wr)
+            w = jax.lax.dynamic_update_slice_in_dim(w, wr, off, axis=0)
+            # resync e with the relation's linear delta
+            e = e + jnp.take(dy, rd.join_tr)
+
+    # --- group hyperpriors for v ---
+    if K > 0:
+        if cfg.do_multilevel:
+            dev = jax.ops.segment_sum(
+                ((v - take_rows(v_mu, plan.attr_group).T) ** 2).T,
+                plan.attr_group, num_segments=G)
+            lam_gamma = beta_0 * (v_mu - mu_0) ** 2 + gamma_0 + dev
+            lam_alpha = alpha_0 + plan.num_attr_per_group[:, None] + 1.0
+            if cfg.do_sample:
+                draw = jax.random.gamma(next_key(), lam_alpha / 2.0,
+                                        dtype=dtype) / (lam_gamma / 2.0)
+            else:
+                draw = lam_alpha / lam_gamma
+            v_lambda = keep_finite(draw, v_lambda)
+            vsum = jax.ops.segment_sum(v.T, plan.attr_group, num_segments=G)
+            mu_mean = (vsum + beta_0 * mu_0) / (plan.num_attr_per_group[:, None] + beta_0)
+            mu_s2 = 1.0 / ((plan.num_attr_per_group[:, None] + beta_0) * v_lambda)
+            v_mu = _maybe_sample(cfg.do_sample, next_key(), mu_mean, mu_s2,
+                                 v_mu, zero_on_bad_sigma=False)
+        else:
+            v_mu = jnp.full((G, K), mu_0, dtype)
+
+        def f_step(carry, xs):
+            e, key = carry
+            v_f, mu_f, lam_f = xs  # [D_all], [G], [G]
+            # total q: main row layout + per-relation qB gathers
+            q = jnp.zeros_like(e)
+            for p in range(row.ids.shape[1]):
+                q = q + jnp.take(v_f, row.ids[:, p]) * row.vals[:, p]
+            qB_all = []
+            for rd, rs in zip(rels, rstats):
+                vr = jax.lax.dynamic_slice_in_dim(v_f, rs.attr_offset,
+                                                  rs.num_attrs)
+                qB = jnp.zeros((rs.num_rows,), dtype)
+                for p in range(rd.rrow_ids.shape[1]):
+                    qB = qB + jnp.take(vr, rd.rrow_ids[:, p]) * rd.rrow_vals[:, p]
+                qB_all.append(qB)
+                q = q + jnp.take(qB, rd.join_tr)
+
+            # --- main-block bins (draw_v, fm_learn_mcmc.h:784-840) ---
+            for bin_blocks in plan.blocks:
+                v_old_d = v_f
+                dv = jnp.zeros((D_all,), dtype)
+                for blk in bin_blocks:
+                    rows_b, x = blk.rows[0], blk.x[0]
+                    key, sub = jax.random.split(key)
+                    v_c = _gather(v_old_d, blk.cols)
+                    mu_g = _gather(mu_f, blk.group)
+                    lam_g = _gather(lam_f, blk.group)
+                    e_g = _gather(e, rows_b)
+                    q_g = _gather(q, rows_b)
+                    h = x * (q_g - x * v_c[:, None])
+                    she = _psum((h * e_g).sum(-1))
+                    sh2 = _psum((h * h).sum(-1))
+                    v_mean = she - v_c * sh2
+                    s2 = 1.0 / (lam_g + alpha * sh2)
+                    mean = -s2 * (alpha * v_mean - mu_g * lam_g)
+                    new_v = _maybe_sample(cfg.do_sample, sub, mean, s2, v_c)
+                    v_f = v_f.at[blk.cols].set(new_v)
+                    dv = dv.at[blk.cols].set(v_c - new_v)
+                vtab = jnp.stack([v_old_d, dv], axis=0)
+                dq = 0.0
+                de = 0.0
+                for p in range(row.ids.shape[1]):
+                    g = jnp.take(vtab, row.ids[:, p], axis=-1)
+                    xp = row.vals[:, p]
+                    h_e = xp * (q - xp * g[0])
+                    dq = dq + xp * g[1]
+                    de = de + h_e * g[1]
+                q = q - dq
+                e = e - de
+            # unobserved MAIN attrs -> prior
+            key, sub = jax.random.split(key)
+            mu_d = _gather(mu_f, plan.attr_group)
+            lam_d = _gather(lam_f, plan.attr_group)
+            new_un = _maybe_sample(cfg.do_sample, sub, mu_d, 1.0 / lam_d, v_f)
+            v_f = jnp.where(plan.unobserved, new_un, v_f)
+
+            # --- relation sweeps (draw_v_rel, fm_learn_mcmc.h:842-899) ---
+            for r_i, (rd, rs) in enumerate(zip(rels, rstats)):
+                R, Dr, off = rs.num_rows, rs.num_attrs, rs.attr_offset
+                qB = qB_all[r_i]
+                qO = q - jnp.take(qB, rd.join_tr)
+                # per-rho aggregates over the join (one [3, N] channel pass)
+                ch = jnp.stack([e, e * qO, qO, qO * qO], axis=0)
+                parts = _join_aggregate(ch, rd.jplan)
+                parts = [(c, _psum(p)) for c, p in parts]
+                agg = _scatter_agg(R, parts, dtype)
+                we, weq, wc, wc2 = agg[0], agg[1], agg[2], agg[3]
+                qB0 = qB
+                dy = jnp.zeros((R,), dtype)
+                vr = jax.lax.dynamic_slice_in_dim(v_f, off, Dr)
+                for bin_blocks in rd.rplan:
+                    v_old_r = vr
+                    dvr = jnp.zeros((Dr,), dtype)
+                    for blk in bin_blocks:
+                        key, sub = jax.random.split(key)
+                        x = blk.x
+                        g = take_cols(
+                            jnp.stack([qB, we, weq, wc, wc2, rd.wnum]),
+                            blk.rows)  # [6, C, L]
+                        qB_g, we_g, weq_g, wc_g, wc2_g, wn_g = (
+                            g[0], g[1], g[2], g[3], g[4], g[5])
+                        v_c = _gather(v_old_r, blk.cols)
+                        mu_g = _gather(mu_f, blk.group)
+                        lam_g = _gather(lam_f, blk.group)
+                        h = x * (qB_g - x * v_c[:, None])
+                        she = (h * we_g + x * weq_g).sum(-1)
+                        sh2 = (h * h * wn_g + 2.0 * wc_g * x * h
+                               + x * x * wc2_g).sum(-1)
+                        v_mean = she - v_c * sh2
+                        s2 = 1.0 / (lam_g + alpha * sh2)
+                        mean = -s2 * (alpha * v_mean - mu_g * lam_g)
+                        new_v = _maybe_sample(cfg.do_sample, sub, mean, s2, v_c)
+                        vr = vr.at[blk.cols].set(new_v)
+                        dvr = dvr.at[blk.cols].set(v_c - new_v)
+                    # relation-row-layout cache patch (reference draw_v_rel
+                    # final loop): each rho has <=1 in-bin entry, so h uses
+                    # the pre-patch qB of its own row
+                    vtab = jnp.stack([v_old_r, dvr], axis=0)
+                    for p in range(rd.rrow_ids.shape[1]):
+                        g = jnp.take(vtab, rd.rrow_ids[:, p], axis=-1)
+                        xp = rd.rrow_vals[:, p]
+                        v_e, dv_e = g[0], g[1]
+                        h_e = xp * (qB - xp * v_e)
+                        we = we - dv_e * (h_e * rd.wnum + xp * wc)
+                        weq = weq - dv_e * (h_e * wc + xp * wc2)
+                        dy = dy - dv_e * h_e
+                        qB = qB - xp * dv_e
+                # unobserved relation attrs -> prior
+                key, sub = jax.random.split(key)
+                mu_d = _gather(mu_f, rd.attr_group)
+                lam_d = _gather(lam_f, rd.attr_group)
+                new_un = _maybe_sample(cfg.do_sample, sub, mu_d, 1.0 / lam_d,
+                                       vr)
+                vr = jnp.where(rd.unobserved, new_un, vr)
+                v_f = jax.lax.dynamic_update_slice_in_dim(v_f, vr, off, axis=0)
+                # resync e and q (reference end-of-relation sync)
+                dqB = qB - qB0
+                g = take_cols(jnp.stack([dy, dqB]), rd.join_tr)  # [2, N]
+                e = e + g[0] + qO * g[1]
+                q = q + g[1]
+            return (e, key), v_f
+
+        (e, key), v = jax.lax.scan(f_step, (e, key), (v, v_mu.T, v_lambda.T))
+
+    # --- full re-predict (fm_learn_mcmc.h predict_data_and_write_to_eterms) ---
+    joins = [rd.join_tr for rd in rels]
+    yhat = bs_scores(w0, w, v, row.ids, row.vals, rels, rstats, joins,
+                     k0=cfg.k0, k1=cfg.k1)
+    if cfg.task == TASK_REGRESSION:
+        yhat = yhat - row.target
+
+    return MCMCState(w0=w0, w=w, v=v, alpha=alpha, w_mu=w_mu,
+                     w_lambda=w_lambda, v_mu=v_mu, v_lambda=v_lambda,
+                     e=yhat, key=key)
+
+
+# ---------------------------------------------------------------------------
+# Learner
+# ---------------------------------------------------------------------------
+
+class MCMCBSLearner(MCMCLearner):
+    """MCMC/ALS over relational block structure, never materializing the
+    join.  ``train``/``test`` are the MAIN design blocks (may have zero
+    columns when all features live in relations); ``relations`` +
+    ``joins_train``/``joins_test`` carry the factored tables.  ``meta`` must
+    be the JOINED meta (``build_joined_meta``), and ``cfg.num_attributes``
+    the joined attribute count."""
+
+    method = "mcmc"
+
+    def __init__(self, cfg: FMConfig, train: SparseDataset,
+                 test: SparseDataset, relations: list[RelationData],
+                 joins_train: list[np.ndarray], joins_test: list[np.ndarray],
+                 meta: DataMetaInfo, num_main_attributes: int,
+                 mesh=None, bins: str = "auto", out_dir: str = ".",
+                 write_files: bool = True,
+                 w_lambda_init: Optional[np.ndarray] = None,
+                 v_lambda_init: Optional[np.ndarray] = None):
+        from svbfm_tpu.parallel.mesh import make_mesh
+
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n = self.mesh.devices.size
+        self.meta = meta
+        self.num_main_attributes = num_main_attributes
+        coo = train.to_coo()
+        # main plan over the main columns only; pad unobserved to D_all with
+        # False so relation attrs are never prior-drawn by the main sweep
+        self.plan = SweepPlan.build(coo, num_main_attributes,
+                                    meta_groups=meta.attr_group[:num_main_attributes],
+                                    bins=bins, n_shards=n)
+        pad = np.zeros(cfg.num_attributes, dtype=bool)
+        pad[:num_main_attributes] = self.plan.unobserved
+        self.plan.unobserved = pad
+        self.train_row, self.train_n = build_row_data(self.mesh, train)
+        self.test_row, self.test_n = build_row_data(self.mesh, test)
+        self.plan_data = build_plan_data(self.mesh, self.plan, meta)
+        self.test_target_np = np.asarray(test.target[: test.num_rows])
+        self.train_target = self.train_row.target
+        self.out_dir = out_dir
+        self.write_files = write_files
+        self.w_lambda_init = (w_lambda_init if w_lambda_init is not None
+                              else np.full(cfg.num_groups, cfg.regw, np.float32))
+        self.v_lambda_init = (v_lambda_init if v_lambda_init is not None
+                              else np.full((cfg.num_groups, cfg.num_factor),
+                                           cfg.regv, np.float32))
+
+        n_tr_pad = self.train_row.ids.shape[0]
+        n_te_pad = self.test_row.ids.shape[0]
+        devs, stats = [], []
+        for rel, jt, je in zip(relations, joins_train, joins_test):
+            d, s = _build_rel_device(self.mesh, rel, np.asarray(jt),
+                                     np.asarray(je), meta.attr_group,
+                                     n_tr_pad, n_te_pad, bins=bins)
+            devs.append(d)
+            stats.append(s)
+        self.rels = tuple(devs)
+        self.rstats = tuple(stats)
+        self._extra_args = (self.rels,)
+        self._extra_specs = (tuple(_rel_specs(d) for d in self.rels),)
+        self._build_jits()
+
+    def _build_jits(self):
+        cfg = self.cfg
+        num_cases = float(self.train_n)
+
+        def step_fn(state, row, plan, rels):
+            return mcmc_bs_draw_all(state, row, plan, rels, cfg, self.rstats,
+                                    num_cases)
+
+        self._step = jax.jit(jax.shard_map(
+            step_fn, mesh=self.mesh,
+            in_specs=(_state_specs(), _row_specs(),
+                      plan_specs_for(self.plan_data), *self._extra_specs),
+            out_specs=_state_specs(),
+        ))
+
+        def scores_fn(w0, w, v, ids, vals, rels, joins):
+            return bs_scores(w0, w, v, ids, vals, rels, self.rstats, joins,
+                             k0=cfg.k0, k1=cfg.k1)
+
+        shd = P(DATA_AXIS)
+        self._bs_scores_tr = jax.jit(jax.shard_map(
+            scores_fn, mesh=self.mesh,
+            in_specs=(P(), P(), P(), shd, shd, *self._extra_specs,
+                      tuple(shd for _ in self.rels)),
+            out_specs=shd))
+        self._fused_cache = {}
+
+    def _draw_inprog(self, state, row, plan, *extras):
+        (rels,) = extras
+        return mcmc_bs_draw_all(state, row, plan, rels, self.cfg, self.rstats,
+                                float(self.train_n))
+
+    def _test_scores_inprog(self, state, trow, *extras):
+        (rels,) = extras
+        joins = [rd.join_te for rd in rels]
+        return bs_scores(state.w0, state.w, state.v, trow.ids, trow.vals,
+                         rels, self.rstats, joins, k0=self.cfg.k0,
+                         k1=self.cfg.k1)
+
+    def init_state(self, key: Optional[jax.Array] = None) -> MCMCState:
+        from svbfm_tpu.models.fm import init_fm_params
+
+        cfg = self.cfg
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed)
+        key, kinit = jax.random.split(key)
+        params = init_fm_params(kinit, cfg.num_attributes, cfg.num_factor,
+                                init_stdev=cfg.init_stdev, init_w_normal=True)
+        joins = tuple(rd.join_tr for rd in self.rels)
+        yhat = self._bs_scores_tr(params.w0, params.w, params.v,
+                                  self.train_row.ids, self.train_row.vals,
+                                  self.rels, joins)
+        e = yhat - self.train_row.target
+        G, K = cfg.num_groups, cfg.num_factor
+        state = MCMCState(
+            w0=params.w0, w=params.w, v=params.v,
+            alpha=jnp.ones((), jnp.float32),
+            w_mu=jnp.zeros((G,), jnp.float32),
+            w_lambda=jnp.asarray(self.w_lambda_init, jnp.float32),
+            v_mu=jnp.zeros((G, K), jnp.float32),
+            v_lambda=jnp.asarray(self.v_lambda_init, jnp.float32),
+            e=e, key=key)
+        from jax.sharding import NamedSharding
+        shardings = jax.tree.map(lambda spec: NamedSharding(self.mesh, spec),
+                                 _state_specs())
+        return jax.device_put(state, shardings)
+
+    def predict_test_scores(self, state: MCMCState) -> np.ndarray:
+        joins = tuple(rd.join_te for rd in self.rels)
+        s = self._bs_scores_te(state.w0, state.w, state.v,
+                               self.test_row.ids, self.test_row.vals,
+                               self.rels, joins)
+        return np.asarray(s)[: self.test_n]
+
+    @property
+    def _bs_scores_te(self):
+        return self._bs_scores_tr  # same program; join arrays differ
+
+
+class ALSBSLearner(MCMCBSLearner):
+    """ALS over block structure (do_sample=False, do_multilevel=False)."""
+
+    method = "mcmc"
+
+    def __init__(self, cfg: FMConfig, *args, **kwargs):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, do_sample=False, do_multilevel=False)
+        super().__init__(cfg, *args, **kwargs)
