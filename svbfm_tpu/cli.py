@@ -130,7 +130,8 @@ KNOWN = {"task", "meta", "train", "test", "validation", "out", "dim",
          "regular", "init_stdev", "stdev", "iter", "learn_rate", "method",
          "verbosity", "rlog", "seed", "help", "relation", "cache_size",
          "batch", "do_sampling", "do_multilevel", "num_eval_cases", "bins",
-         "factor_block", "checkpoint", "checkpoint_every", "map_eval",
+         "factor_block", "factor_jacobi", "checkpoint", "checkpoint_every",
+         "map_eval",
          "map_item_offset", "map_k", "profile", "distributed"}
 
 
@@ -292,6 +293,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         num_batches=cmd.get_int("batch", 50),
         stdev=cmd.get_float("stdev", 1.0),
         factor_block=cmd.get_int("factor_block", 0),
+        mcmc_factor_jacobi=cmd.get_int("factor_jacobi", 0) == 1,
     )
     bins = cmd.get_str("bins", "auto")
     verbose = True

@@ -49,12 +49,17 @@ class FMConfig:
     do_sample: bool = True
     do_multilevel: bool = True
     num_batches: int = 50  # online methods' epoch chunking (-batch flag)
-    # factors per block in VB/MCMC v sweeps: within a block factors update
-    # Jacobi-style from the block-entry residuals (e/q patches stay exact
-    # because the FM score is additive over factors).  1 = reference-exact
-    # factor-sequential Gauss-Seidel; 0 = all K at once (fast: index passes
-    # per sweep drop from O(K) to O(1), the TPU bottleneck).
+    # factors per block in VB/MCMC v sweeps.  0 = auto (all K at once when
+    # the temps fit HBM); 1 = the reference's factor-major sequential chain.
+    # Within a block the per-bin gathers are channel-stacked over factors
+    # (index passes per sweep drop from O(K) to O(1), the TPU bottleneck).
+    # VB updates factors Jacobi-style inside a block (exact e/q patches);
+    # MCMC/ALS keep EXACT sequential conditionals via closed-form
+    # cross-factor corrections (learners.mcmc._v_blocked_sweep), unless
+    # mcmc_factor_jacobi asks for the cheaper Jacobi fixed-point (valid for
+    # deterministic ALS only — not a Gibbs kernel).
     factor_block: int = 0
+    mcmc_factor_jacobi: bool = False
     # exponential-family multipliers for stochastic SGD (exp_sgd_stoc,
     # exp_fm_learn_sgd_stoc_element.h:29-43)
     exp_family: bool = False

@@ -407,7 +407,9 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
         F_eff = 1 if cfg.factor_block == 1 else \
             (min(cfg.factor_block, K) if cfg.factor_block > 0 else K)
         if F_eff > 1 and K % F_eff == 0:
-            exact = os.environ.get("SVBFM_VSWEEP_PROBE", "") != "jacobi"
+            exact = not (cfg.mcmc_factor_jacobi and not cfg.do_sample)
+            if os.environ.get("SVBFM_VSWEEP_PROBE", "") == "jacobi":
+                exact = False  # timing probe only
             e, v, key = _v_blocked_sweep(e, v, v_mu, v_lambda, alpha, plan,
                                          row, cfg, F_eff, key,
                                          exact_seq=exact)
@@ -753,7 +755,9 @@ class MCMCLearner:
             state, psum_all, psum_but5, it_dev, metrics = fn(
                 state, psum_all, psum_but5, it_dev, self.train_row,
                 self.plan_data, self.test_row, *self._extra_args)
-            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            # ONE host transfer for the whole metrics pytree: per-key
+            # np.asarray costs a tunnel round-trip each (10+ fetches/chunk)
+            metrics = jax.device_get(metrics)
             iter_wall = (_time.perf_counter() - t0) / n
             for j in range(n):
                 rec = {"iter": it, "time_learn": iter_wall}

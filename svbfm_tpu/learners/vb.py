@@ -797,7 +797,9 @@ class VBLearner:
             t0 = _time.perf_counter()
             state, metrics = fn(state, self.train_row, self.plan_data,
                                 self.test_row)
-            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            # ONE host transfer for the whole metrics pytree: per-key
+            # np.asarray costs a tunnel round-trip each (10+ fetches/chunk)
+            metrics = jax.device_get(metrics)
             iter_wall = (_time.perf_counter() - t0) / n
             for j in range(n):
                 rec = {"iter": it, "time_learn": iter_wall}

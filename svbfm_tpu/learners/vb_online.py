@@ -726,8 +726,11 @@ class OVBLearner:
                                     jnp.asarray(float(self.chunk_sizes[ci]),
                                                 jnp.float32))
                 fes.append(fe)
-            fes = [float(np.asarray(f)) for f in fes]
+            # one host transfer for all chunk free-energies + eval metrics
+            # (per-value np.asarray costs a tunnel round-trip each)
             m1, m2 = eval_fn(state, self.test_row)
+            fes, m1, m2 = jax.device_get((fes, m1, m2))
+            fes = [float(f) for f in fes]
             # reference: free energy appended for first and last chunk
             fe_file.append(-fes[0])
             fe_file.append(-fes[-1])
@@ -878,7 +881,7 @@ class OVBLearner:
                                 .astype(np.int32))
             state, fes, m1, m2 = epoch_fn(state, order, self.chunk_row,
                                           self.chunk_blocks, self.test_row)
-            fes = np.asarray(fes)
+            fes, m1, m2 = jax.device_get((fes, m1, m2))  # one host transfer
             # reference: free energy appended for first and last chunk
             fe_file.append(-float(fes[0]))
             fe_file.append(-float(fes[-1]))
