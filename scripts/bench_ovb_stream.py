@@ -1,0 +1,129 @@
+"""Out-of-core OVBFM benchmark: data larger than device HBM, bounded memory.
+
+Generates a Netflix-shaped synthetic rating file DIRECTLY to disk in the
+reference binary format (vectorized chunk writes — never holding the full
+dataset in host RAM), then trains ``OVBLearner.from_reader`` where exactly
+one chunk lives in HBM at a time.  This is the capability the reference's
+OVBFM exists for (``fm_learn_vb_online_simultaneous.h:76-157``; the paper's
+KDD-263M "only online methods fit in RAM" claim).
+
+Usage: python scripts/bench_ovb_stream.py [rows] [K] [num_batches] [epochs]
+"""
+
+import os
+import struct
+import sys
+import time
+
+import numpy as np
+
+from svbfm_tpu.data.binary import (_HEADER, DVECTOR_FILE_ID,  # noqa: E402
+                                   FMATRIX_FILE_ID)
+
+NUM_USERS, NUM_ITEMS = 480_189, 17_770  # Netflix shape
+
+
+def generate_streaming(prefix: str, rows: int, seed: int = 11,
+                       chunk: int = 5_000_000) -> None:
+    """Write prefix.x / prefix.y without materializing the dataset: each
+    row is (user one-hot, item one-hot), k=2, rank-structured targets."""
+    if os.path.exists(prefix + ".x") and os.path.exists(prefix + ".y"):
+        with open(prefix + ".x", "rb") as f:
+            _, _, _, nr, _ = _HEADER.unpack(f.read(_HEADER.size))
+        if nr == rows:
+            print(f"# reusing {prefix}.x ({rows} rows)")
+            return
+    rng = np.random.default_rng(seed)
+    rank = 8
+    pu = (0.35 * rng.standard_normal((NUM_USERS, rank))).astype(np.float32)
+    qi = (0.35 * rng.standard_normal((NUM_ITEMS, rank))).astype(np.float32)
+    bu = (0.4 * rng.standard_normal(NUM_USERS)).astype(np.float32)
+    bi = (0.4 * rng.standard_normal(NUM_ITEMS)).astype(np.float32)
+    rec_t = np.dtype([("k", "<u4"), ("id0", "<u4"), ("v0", "<f4"),
+                      ("id1", "<u4"), ("v1", "<f4")])
+    t0 = time.perf_counter()
+    with open(prefix + ".x", "wb") as fx, open(prefix + ".y", "wb") as fy:
+        fx.write(_HEADER.pack(FMATRIX_FILE_ID, 4, 2 * rows, rows,
+                              NUM_USERS + NUM_ITEMS))
+        fy.write(struct.pack("<III", DVECTOR_FILE_ID, 4, rows))
+        done = 0
+        while done < rows:
+            n = min(chunk, rows - done)
+            u = rng.integers(0, NUM_USERS, n)
+            i = rng.integers(0, NUM_ITEMS, n)
+            y = (3.6 + bu[u] + bi[i] + np.einsum("nk,nk->n", pu[u], qi[i])
+                 + 0.6 * rng.standard_normal(n).astype(np.float32))
+            y = np.clip(np.rint(y), 1.0, 5.0).astype(np.float32)
+            rec = np.empty(n, rec_t)
+            rec["k"] = 2
+            rec["id0"] = u
+            rec["v0"] = 1.0
+            rec["id1"] = NUM_USERS + i
+            rec["v1"] = 1.0
+            fx.write(rec.tobytes())
+            fy.write(y.tobytes())
+            done += n
+    print(f"# generated {rows} rows in {time.perf_counter()-t0:.0f} s "
+          f"({os.path.getsize(prefix + '.x')/2**30:.2f} GiB on disk)")
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000_000
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    nb = int(sys.argv[3]) if len(sys.argv) > 3 else 60
+    epochs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    prefix = os.environ.get("SVBFM_OVB_PREFIX", "/tmp/ovb_big")
+    generate_streaming(prefix, rows)
+
+    import resource
+
+    from svbfm_tpu.data.dataset import SparseDataset
+    from svbfm_tpu.data.libfm_text import COOData
+    from svbfm_tpu.data.meta import DataMetaInfo
+    from svbfm_tpu.data.stream import BinaryChunkReader
+    from svbfm_tpu.learners.base import FMConfig
+    from svbfm_tpu.learners.vb_online import OVBLearner
+
+    D = NUM_USERS + NUM_ITEMS
+    reader = BinaryChunkReader(prefix + ".x", prefix + ".y")
+    assert reader.num_rows == rows
+    # small in-memory test set with the same structure
+    rng = np.random.default_rng(99)
+    nt = 500_000
+    u = rng.integers(0, NUM_USERS, nt)
+    i = rng.integers(0, NUM_ITEMS, nt)
+    te = COOData(
+        row=np.repeat(np.arange(nt, dtype=np.int32), 2),
+        col=np.concatenate([u[:, None], (NUM_USERS + i)[:, None]],
+                           axis=1).reshape(-1).astype(np.int32),
+        val=np.ones(2 * nt, np.float32),
+        target=np.full(nt, 3.6, np.float32), num_rows=nt, num_features=D)
+    meta = DataMetaInfo.from_field_offsets(D, [0, NUM_USERS])
+    cfg = FMConfig(num_attributes=D, num_factor=K, min_target=1.0,
+                   max_target=5.0, num_groups=meta.num_attr_groups, seed=7,
+                   num_batches=nb)
+    t0 = time.perf_counter()
+    learner = OVBLearner.from_reader(cfg, reader, SparseDataset.from_coo(te, D),
+                                     meta, write_files=False,
+                                     cache_dir=prefix + "_plans")
+    print(f"# construction (streaming plan pass): {time.perf_counter()-t0:.0f} s")
+    state = learner.init_state()
+    t0 = time.perf_counter()
+    state, hist = learner.run(state, num_iter=1, verbose=False)
+    print(f"# epoch 1 (compile + run): {time.perf_counter()-t0:.0f} s "
+          f"rmse={hist[-1]['rmse']:.4f}")
+    t0 = time.perf_counter()
+    state, hist = learner.run(state, num_iter=epochs, verbose=False)
+    wall = time.perf_counter() - t0
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+    from svbfm_tpu.utils.profiling import device_memory_stats
+    dm = device_memory_stats()
+    hbm = ""
+    if dm and dm.get("peak_bytes_in_use"):
+        hbm = f"  hbm_peak_gib={dm['peak_bytes_in_use']/2**30:.1f}"
+    print(f"ovb stream sec/epoch: {wall/epochs:.1f}  rmse={hist[-1]['rmse']:.4f}"
+          f"  host_rss_gib={rss:.1f}{hbm}")
+
+
+if __name__ == "__main__":
+    main()

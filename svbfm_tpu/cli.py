@@ -295,6 +295,11 @@ def main(argv: Optional[list[str]] = None) -> int:
         factor_block=cmd.get_int("factor_block", 0),
         mcmc_factor_jacobi=cmd.get_int("factor_jacobi", 0) == 1,
     )
+    if cfg.mcmc_factor_jacobi and cfg.do_sample:
+        print("# WARNING: -factor_jacobi is ignored when sampling "
+              "(factor-Jacobi is not a valid Gibbs kernel); it applies "
+              "only to deterministic ALS (-method als / -do_sampling 0).",
+              flush=True)
     bins = cmd.get_str("bins", "auto")
     verbose = True
 

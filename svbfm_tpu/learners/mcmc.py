@@ -30,7 +30,6 @@ Reference semantics preserved:
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax
@@ -169,13 +168,18 @@ def _v_blocked_sweep(e, v, v_mu, v_lambda, alpha, plan, row, cfg, F, key,
                 # corrections (see docstring)
                 h = x[None] * (q_g - x[None] * v_c.T[:, :, None])  # [F, C, L]
                 s0 = (h * e_g[None]).sum(-1)  # [F, C]
-                probe = os.environ.get("SVBFM_VSWEEP_PROBE", "")
-                if exact_seq and probe != "nocorr":
-                    m_x = jnp.einsum("fcl,gcl->fgc", h, h)  # [F, F, C]
-                    s0, m_x = _psum((s0, m_x))
-                    sh2_all = jnp.diagonal(m_x).T  # [F, C] = sum h_f^2
+                # sh2 (the conditional-variance denominator) always comes
+                # from the full-f32 VPU sum; the cross-factor matrix M is
+                # MXU work and must force f32 accumulation (Precision
+                # DEFAULT would drop it to bf16 on TPU and break the exact-
+                # conditionals contract)
+                sh2_raw = (h * h).sum(-1)  # [F, C]
+                if exact_seq:
+                    m_x = jnp.einsum("fcl,gcl->fgc", h, h,
+                                     precision=jax.lax.Precision.HIGHEST)
+                    s0, sh2_all, m_x = _psum((s0, sh2_raw, m_x))
                 else:
-                    s0, sh2_all = _psum((s0, (h * h).sum(-1)))
+                    s0, sh2_all = _psum((s0, sh2_raw))
                     m_x = None
                 if cfg.do_sample:
                     zmat = take_cols(z_d, blk.cols)  # [F, C]
@@ -266,14 +270,193 @@ def _auto_factor_block(plan: SweepPlan, K: int, n_loc: int) -> int:
     return 1
 
 
+# Hyperprior constants (fm_learn_mcmc.h:1100-1103)
+ALPHA_0 = GAMMA_0 = BETA_0 = 1.0
+MU_0 = 0.0
+W0_MEAN_0 = 0.0
+
+
+def draw_alpha(e, valid, alpha_old, cfg: FMConfig, N, next_key, dtype):
+    """fm_learn_mcmc.h:901-929."""
+    if not cfg.do_multilevel:
+        return jnp.asarray(ALPHA_0, dtype)
+    sse = _psum(jnp.sum(e * e * valid))
+    draw = jax.random.gamma(next_key(), (ALPHA_0 + N) / 2.0,
+                            dtype=dtype) / ((GAMMA_0 + sse) / 2.0)
+    return keep_finite(draw, alpha_old)
+
+
+def draw_w0(e, valid, w0, cfg: FMConfig, alpha, N, next_key):
+    """fm_learn_mcmc.h:628-668.  Returns (e, w0)."""
+    acc = _psum(jnp.sum((e - w0) * valid))
+    s2 = 1.0 / (cfg.reg0 + alpha * N)
+    mean = -s2 * (alpha * acc - W0_MEAN_0 * cfg.reg0)
+    new_w0 = _maybe_sample(cfg.do_sample, next_key(), mean, s2, w0,
+                           zero_on_bad_sigma=False)
+    return e - (w0 - new_w0), new_w0
+
+
+def draw_w_hyperpriors(w, w_mu, w_lambda, attr_group, napg, cfg: FMConfig,
+                       G, next_key, dtype):
+    """draw_w_lambda then draw_w_mu (fm_learn_mcmc.h:425-426, 931-1007)."""
+    if not cfg.do_multilevel:
+        return jnp.full((G,), MU_0, dtype), w_lambda
+    dev = jax.ops.segment_sum((w - _gather(w_mu, attr_group)) ** 2,
+                              attr_group, num_segments=G)
+    lam_gamma = BETA_0 * (w_mu - MU_0) ** 2 + GAMMA_0 + dev
+    lam_alpha = ALPHA_0 + napg + 1.0
+    if cfg.do_sample:
+        draw = jax.random.gamma(next_key(), lam_alpha / 2.0,
+                                dtype=dtype) / (lam_gamma / 2.0)
+    else:
+        draw = lam_alpha / lam_gamma
+    w_lambda = keep_finite(draw, w_lambda)
+    wsum = jax.ops.segment_sum(w, attr_group, num_segments=G)
+    mu_mean = (wsum + BETA_0 * MU_0) / (napg + BETA_0)
+    mu_s2 = 1.0 / ((napg + BETA_0) * w_lambda)
+    w_mu = _maybe_sample(cfg.do_sample, next_key(), mu_mean, mu_s2, w_mu,
+                         zero_on_bad_sigma=False)
+    return w_mu, w_lambda
+
+
+def draw_v_hyperpriors(v, v_mu, v_lambda, attr_group, napg, cfg: FMConfig,
+                       G, K, next_key, dtype):
+    """fm_learn_mcmc.h:1011-1089."""
+    if not cfg.do_multilevel:
+        return jnp.full((G, K), MU_0, dtype), v_lambda
+    dev = jax.ops.segment_sum(
+        ((v - take_rows(v_mu, attr_group).T) ** 2).T,
+        attr_group, num_segments=G)  # [G, K]
+    lam_gamma = BETA_0 * (v_mu - MU_0) ** 2 + GAMMA_0 + dev
+    lam_alpha = ALPHA_0 + napg[:, None] + 1.0
+    if cfg.do_sample:
+        draw = jax.random.gamma(next_key(), lam_alpha / 2.0,
+                                dtype=dtype) / (lam_gamma / 2.0)
+    else:
+        draw = lam_alpha / lam_gamma
+    v_lambda = keep_finite(draw, v_lambda)
+    vsum = jax.ops.segment_sum(v.T, attr_group, num_segments=G)  # [G, K]
+    mu_mean = (vsum + BETA_0 * MU_0) / (napg[:, None] + BETA_0)
+    mu_s2 = 1.0 / ((napg[:, None] + BETA_0) * v_lambda)
+    v_mu = _maybe_sample(cfg.do_sample, next_key(), mu_mean, mu_s2, v_mu,
+                         zero_on_bad_sigma=False)
+    return v_mu, v_lambda
+
+
+def w_sweep_main(e, w, w_mu, w_lambda, alpha, plan, row, cfg: FMConfig,
+                 next_key):
+    """Binned main-block w sweep + unobserved prior draws
+    (fm_learn_mcmc.h:671-718).  Returns (e, w)."""
+    dtype = w.dtype
+    D = w.shape[0]
+    zw_d = None
+    if cfg.do_sample:
+        # one [D] z-table per sweep (each column drawn exactly once: its
+        # bucket, or the unobserved prior draw) — avoids a per-bucket
+        # key-split/normal chain
+        zw_d = jax.random.normal(next_key(), (D,), dtype)
+    for bin_blocks in plan.blocks:
+        dw = jnp.zeros((D,), dtype)
+        for blk in bin_blocks:
+            rows, x = blk.rows[0], blk.x[0]  # [C, L]
+            w_c = _gather(w, blk.cols)
+            mu_g = _gather(w_mu, blk.group)
+            lam_g = _gather(w_lambda, blk.group)
+            e_g = _gather(e, rows)
+            sxe = _psum((x * e_g).sum(-1))
+            w_mean = sxe - w_c * blk.sx2
+            s2 = 1.0 / (lam_g + alpha * blk.sx2)
+            mean = -s2 * (alpha * w_mean - mu_g * lam_g)
+            if cfg.do_sample:
+                val = mean + jnp.sqrt(s2) * _gather(zw_d, blk.cols)
+            else:
+                val = mean
+            val = jnp.where(jnp.isfinite(s2), val, jnp.zeros_like(val))
+            new_w = keep_finite(val, w_c)
+            w = w.at[blk.cols].set(new_w)
+            dw = dw.at[blk.cols].set(w_c - new_w)
+        # one row-layout residual patch per bin: e -= x * (w_old - w_new)
+        # (per-position flat gathers: [N, P] temps tile-pad 64x)
+        for p in range(row.ids.shape[1]):
+            e = e - row.vals[:, p] * jnp.take(dw, row.ids[:, p])
+    # unobserved columns: posterior = prior N(mu_g, 1/lambda_g)
+    mu_d = _gather(w_mu, plan.attr_group)
+    lam_d = _gather(w_lambda, plan.attr_group)
+    s2_d = 1.0 / lam_d
+    if cfg.do_sample:
+        un = mu_d + jnp.sqrt(s2_d) * zw_d  # zw_d unused for observed cols
+        un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
+    else:
+        un = jnp.where(jnp.isfinite(s2_d), mu_d, jnp.zeros_like(mu_d))
+    new_un = keep_finite(un, w)
+    return e, jnp.where(plan.unobserved, new_un, w)
+
+
+def v_factor_main_bins(e, q, v_f, mu_f, lam_f, alpha, plan, row,
+                       cfg: FMConfig, key):
+    """One factor's main-block bin sweep on the TOTAL q cache with exact
+    per-bin e/q patches (draw_v, fm_learn_mcmc.h:784-840) + unobserved
+    prior draws.  Returns (e, q, v_f, key)."""
+    dtype = v_f.dtype
+    D = v_f.shape[0]
+    if cfg.do_sample:
+        key, sub = jax.random.split(key)
+        z_d = jax.random.normal(sub, (D,), dtype)
+    for bin_blocks in plan.blocks:
+        v_old_d = v_f  # pre-bin snapshot (functional)
+        dv = jnp.zeros((D,), dtype)
+        for blk in bin_blocks:
+            rows, x = blk.rows[0], blk.x[0]
+            v_c = _gather(v_old_d, blk.cols)
+            mu_g = _gather(mu_f, blk.group)
+            lam_g = _gather(lam_f, blk.group)
+            e_g = _gather(e, rows)
+            q_g = _gather(q, rows)
+            h = x * (q_g - x * v_c[:, None])
+            she = _psum((h * e_g).sum(-1))
+            sh2 = _psum((h * h).sum(-1))
+            v_mean = she - v_c * sh2
+            s2 = 1.0 / (lam_g + alpha * sh2)
+            mean = -s2 * (alpha * v_mean - mu_g * lam_g)
+            if cfg.do_sample:
+                val = mean + jnp.sqrt(s2) * _gather(z_d, blk.cols)
+            else:
+                val = mean
+            val = jnp.where(jnp.isfinite(s2), val, jnp.zeros_like(val))
+            new_v = keep_finite(val, v_c)
+            v_f = v_f.at[blk.cols].set(new_v)
+            dv = dv.at[blk.cols].set(v_c - new_v)
+        # one row-layout patch per bin: h from pre-bin q and v
+        # (per-position flat gathers from a [2, D] stacked table)
+        vtab = jnp.stack([v_old_d, dv], axis=0)
+        dq = 0.0
+        de = 0.0
+        for p in range(row.ids.shape[1]):
+            g = jnp.take(vtab, row.ids[:, p], axis=-1)  # [2, N]
+            xp = row.vals[:, p]
+            h_e = xp * (q - xp * g[0])
+            dq = dq + xp * g[1]
+            de = de + h_e * g[1]
+        q = q - dq
+        e = e - de
+    # unobserved columns take the prior
+    mu_d = _gather(mu_f, plan.attr_group)
+    lam_d = _gather(lam_f, plan.attr_group)
+    s2_d = 1.0 / lam_d
+    if cfg.do_sample:
+        un = mu_d + jnp.sqrt(s2_d) * z_d
+        un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
+    else:
+        un = jnp.where(jnp.isfinite(s2_d), mu_d, jnp.zeros_like(mu_d))
+    v_f = jnp.where(plan.unobserved, keep_finite(un, v_f), v_f)
+    return e, q, v_f, key
+
+
 def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
                   num_cases: float):
     """One Gibbs sweep + full re-predict of the train e-cache.  Runs inside
     shard_map."""
     dtype = state.w.dtype
-    alpha_0 = gamma_0 = beta_0 = 1.0
-    mu_0 = 0.0
-    w0_mean_0 = 0.0
     G, K = cfg.num_groups, cfg.num_factor
     N = jnp.asarray(num_cases, dtype)
     e = state.e
@@ -284,118 +467,28 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
         key, sub = jax.random.split(key)
         return sub
 
-    # --- alpha (fm_learn_mcmc.h:901-929) ---
-    alpha = state.alpha
-    if cfg.do_multilevel:
-        sse = _psum(jnp.sum(e * e * row.valid))
-        alpha_n = alpha_0 + N
-        gamma_n = gamma_0 + sse
-        draw = jax.random.gamma(next_key(), alpha_n / 2.0, dtype=dtype) / (gamma_n / 2.0)
-        alpha = keep_finite(draw, alpha)
-    else:
-        alpha = jnp.asarray(alpha_0, dtype)
+    alpha = draw_alpha(e, row.valid, state.alpha, cfg, N, next_key, dtype)
 
-    # --- w0 (fm_learn_mcmc.h:628-668) ---
     w0 = state.w0
     if cfg.k0:
-        acc = _psum(jnp.sum((e - w0) * row.valid))
-        s2 = 1.0 / (cfg.reg0 + alpha * N)
-        mean = -s2 * (alpha * acc - w0_mean_0 * cfg.reg0)
-        new_w0 = _maybe_sample(cfg.do_sample, next_key(), mean, s2, w0,
-                               zero_on_bad_sigma=False)
-        e = e - (w0 - new_w0)
-        w0 = new_w0
+        e, w0 = draw_w0(e, row.valid, w0, cfg, alpha, N, next_key)
 
     w, v = state.w, state.v
     w_mu, w_lambda = state.w_mu, state.w_lambda
     v_mu, v_lambda = state.v_mu, state.v_lambda
 
-    # --- group hyperpriors for w (order: lambda then mu, fm_learn_mcmc.h:425-426) ---
     if cfg.k1:
-        if cfg.do_multilevel:
-            # draw_w_lambda (fm_learn_mcmc.h:970-1007)
-            dev = jax.ops.segment_sum((w - _gather(w_mu, plan.attr_group)) ** 2,
-                                      plan.attr_group, num_segments=G)
-            lam_gamma = beta_0 * (w_mu - mu_0) ** 2 + gamma_0 + dev
-            lam_alpha = alpha_0 + plan.num_attr_per_group + 1.0
-            if cfg.do_sample:
-                draw = jax.random.gamma(next_key(), lam_alpha / 2.0, dtype=dtype) / (lam_gamma / 2.0)
-            else:
-                draw = lam_alpha / lam_gamma
-            w_lambda = keep_finite(draw, w_lambda)
-            # draw_w_mu (fm_learn_mcmc.h:931-968)
-            wsum = jax.ops.segment_sum(w, plan.attr_group, num_segments=G)
-            mu_mean = (wsum + beta_0 * mu_0) / (plan.num_attr_per_group + beta_0)
-            mu_s2 = 1.0 / ((plan.num_attr_per_group + beta_0) * w_lambda)
-            w_mu = _maybe_sample(cfg.do_sample, next_key(), mu_mean, mu_s2, w_mu,
-                                 zero_on_bad_sigma=False)
-        else:
-            w_mu = jnp.full((G,), mu_0, dtype)
-
-        # --- w sweep (fm_learn_mcmc.h:671-718), gather-only binned form ---
-        D = w.shape[0]
-        if cfg.do_sample:
-            # one [D] z-table per sweep (each column drawn exactly once:
-            # its bucket, or the unobserved prior draw) — avoids a
-            # per-bucket key-split/normal chain
-            zw_d = jax.random.normal(next_key(), (D,), dtype)
-        for bin_blocks in plan.blocks:
-            dw = jnp.zeros((D,), dtype)
-            for blk in bin_blocks:
-                rows, x = blk.rows[0], blk.x[0]  # [C, L]
-                w_c = _gather(w, blk.cols)
-                mu_g = _gather(w_mu, blk.group)
-                lam_g = _gather(w_lambda, blk.group)
-                e_g = _gather(e, rows)
-                sxe = _psum((x * e_g).sum(-1))
-                w_mean = sxe - w_c * blk.sx2
-                s2 = 1.0 / (lam_g + alpha * blk.sx2)
-                mean = -s2 * (alpha * w_mean - mu_g * lam_g)
-                if cfg.do_sample:
-                    val = mean + jnp.sqrt(s2) * _gather(zw_d, blk.cols)
-                else:
-                    val = mean
-                val = jnp.where(jnp.isfinite(s2), val, jnp.zeros_like(val))
-                new_w = keep_finite(val, w_c)
-                w = w.at[blk.cols].set(new_w)
-                dw = dw.at[blk.cols].set(w_c - new_w)
-            # one row-layout residual patch per bin: e -= x * (w_old - w_new)
-            # (per-position flat gathers: [N, P] temps tile-pad 64x)
-            for p in range(row.ids.shape[1]):
-                e = e - row.vals[:, p] * jnp.take(dw, row.ids[:, p])
-        # unobserved columns: posterior = prior N(mu_g, 1/lambda_g)
-        mu_d = _gather(w_mu, plan.attr_group)
-        lam_d = _gather(w_lambda, plan.attr_group)
-        s2_d = 1.0 / lam_d
-        if cfg.do_sample:
-            un = mu_d + jnp.sqrt(s2_d) * zw_d  # zw_d unused for observed cols
-            un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
-        else:
-            un = jnp.where(jnp.isfinite(s2_d), mu_d, jnp.zeros_like(mu_d))
-        new_un = keep_finite(un, w)
-        w = jnp.where(plan.unobserved, new_un, w)
+        w_mu, w_lambda = draw_w_hyperpriors(
+            w, w_mu, w_lambda, plan.attr_group, plan.num_attr_per_group,
+            cfg, G, next_key, dtype)
+        e, w = w_sweep_main(e, w, w_mu, w_lambda, alpha, plan, row, cfg,
+                            next_key)
 
     # --- group hyperpriors for v (fm_learn_mcmc.h:1011-1089) ---
     if K > 0:
-        if cfg.do_multilevel:
-            # v [K, D] minus per-attribute group mean: v_mu[group[d], f]
-            dev = jax.ops.segment_sum(
-                ((v - take_rows(v_mu, plan.attr_group).T) ** 2).T,
-                plan.attr_group, num_segments=G)  # [G, K]
-            lam_gamma = beta_0 * (v_mu - mu_0) ** 2 + gamma_0 + dev
-            lam_alpha = alpha_0 + plan.num_attr_per_group[:, None] + 1.0
-            if cfg.do_sample:
-                draw = jax.random.gamma(next_key(), lam_alpha / 2.0, dtype=dtype) / (lam_gamma / 2.0)
-            else:
-                draw = lam_alpha / lam_gamma
-            v_lambda = keep_finite(draw, v_lambda)
-            vsum = jax.ops.segment_sum(v.T, plan.attr_group, num_segments=G)  # [G, K]
-            mu_mean = (vsum + beta_0 * mu_0) / (plan.num_attr_per_group[:, None] + beta_0)
-            mu_s2 = 1.0 / ((plan.num_attr_per_group[:, None] + beta_0) * v_lambda)
-            v_mu = _maybe_sample(cfg.do_sample, next_key(), mu_mean, mu_s2, v_mu,
-                                 zero_on_bad_sigma=False)
-        else:
-            v_mu = jnp.full((G, K), mu_0, dtype)
+        v_mu, v_lambda = draw_v_hyperpriors(
+            v, v_mu, v_lambda, plan.attr_group, plan.num_attr_per_group,
+            cfg, G, K, next_key, dtype)
 
         # --- v sweeps (fm_learn_mcmc.h:510-622, 780-835) ---
         # Factor execution: both Gibbs and ALS default to the factor-blocked
@@ -408,8 +501,6 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
             (min(cfg.factor_block, K) if cfg.factor_block > 0 else K)
         if F_eff > 1 and K % F_eff == 0:
             exact = not (cfg.mcmc_factor_jacobi and not cfg.do_sample)
-            if os.environ.get("SVBFM_VSWEEP_PROBE", "") == "jacobi":
-                exact = False  # timing probe only
             e, v, key = _v_blocked_sweep(e, v, v_mu, v_lambda, alpha, plan,
                                          row, cfg, F_eff, key,
                                          exact_seq=exact)
@@ -420,49 +511,11 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
         def f_step(carry, xs):
             e, key = carry
             v_f, mu_f, lam_f = xs  # [D], [G], [G]
-            q = 0.0
+            q = jnp.zeros_like(e)
             for p in range(row.ids.shape[1]):
                 q = q + jnp.take(v_f, row.ids[:, p]) * row.vals[:, p]
-
-            for bin_blocks in plan.blocks:
-                v_old_d = v_f  # pre-bin snapshot (functional)
-                dv = jnp.zeros((D,), dtype)
-                for blk in bin_blocks:
-                    rows, x = blk.rows[0], blk.x[0]
-                    key, sub = jax.random.split(key)
-                    v_c = _gather(v_old_d, blk.cols)
-                    mu_g = _gather(mu_f, blk.group)
-                    lam_g = _gather(lam_f, blk.group)
-                    e_g = _gather(e, rows)
-                    q_g = _gather(q, rows)
-                    h = x * (q_g - x * v_c[:, None])
-                    she = _psum((h * e_g).sum(-1))
-                    sh2 = _psum((h * h).sum(-1))
-                    v_mean = she - v_c * sh2
-                    s2 = 1.0 / (lam_g + alpha * sh2)
-                    mean = -s2 * (alpha * v_mean - mu_g * lam_g)
-                    new_v = _maybe_sample(cfg.do_sample, sub, mean, s2, v_c)
-                    v_f = v_f.at[blk.cols].set(new_v)
-                    dv = dv.at[blk.cols].set(v_c - new_v)
-                # one row-layout patch per bin: h from pre-bin q and v
-                # (per-position flat gathers from a [2, D] stacked table)
-                vtab = jnp.stack([v_old_d, dv], axis=0)
-                dq = 0.0
-                de = 0.0
-                for p in range(row.ids.shape[1]):
-                    g = jnp.take(vtab, row.ids[:, p], axis=-1)  # [2, N]
-                    xp = row.vals[:, p]
-                    h_e = xp * (q - xp * g[0])
-                    dq = dq + xp * g[1]
-                    de = de + h_e * g[1]
-                q = q - dq
-                e = e - de
-
-            key, sub = jax.random.split(key)
-            mu_d = _gather(mu_f, plan.attr_group)
-            lam_d = _gather(lam_f, plan.attr_group)
-            new_un = _maybe_sample(cfg.do_sample, sub, mu_d, 1.0 / lam_d, v_f)
-            v_f = jnp.where(plan.unobserved, new_un, v_f)
+            e, q, v_f, key = v_factor_main_bins(
+                e, q, v_f, mu_f, lam_f, alpha, plan, row, cfg, key)
             return (e, key), v_f
 
         if not v_done:

@@ -66,12 +66,11 @@ from svbfm_tpu.learners.mcmc import (
     MCMCLearner,
     MCMCState,
     _gather,
-    _maybe_sample,
     _psum,
     _row_specs,
     _state_specs,
 )
-from svbfm_tpu.ops.segment import take_cols, take_rows
+from svbfm_tpu.ops.segment import take_cols
 from svbfm_tpu.parallel.mesh import DATA_AXIS, put_replicated, shard_rows
 
 
@@ -282,14 +281,16 @@ def _scatter_agg(R, parts, dtype):
 def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                      rstats, num_cases: float):
     """One block-structure Gibbs/ALS sweep + full re-predict of the train
-    e-cache.  Runs inside shard_map.  Main-block draws follow
-    fm_learn_mcmc.h:411-458 exactly as learners.mcmc; relation draws follow
-    draw_w_rel/draw_v_rel (:722-780, :842-899) with conflict-free bins inside
-    each relation."""
+    e-cache.  Runs inside shard_map.  Scalar/hyperprior/main-block draws are
+    the SHARED helpers from learners.mcmc (fm_learn_mcmc.h:411-458); relation
+    draws follow draw_w_rel/draw_v_rel (:722-780, :842-899) with
+    conflict-free bins inside each relation and hoisted per-relation
+    z-tables (one normal draw per sweep, not per bucket)."""
+    from svbfm_tpu.learners.mcmc import (draw_alpha, draw_v_hyperpriors,
+                                         draw_w0, draw_w_hyperpriors,
+                                         v_factor_main_bins, w_sweep_main)
+
     dtype = state.w.dtype
-    alpha_0 = gamma_0 = beta_0 = 1.0
-    mu_0 = 0.0
-    w0_mean_0 = 0.0
     G, K = cfg.num_groups, cfg.num_factor
     N = jnp.asarray(num_cases, dtype)
     e = state.e
@@ -300,76 +301,40 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
         key, sub = jax.random.split(key)
         return sub
 
-    # --- alpha ---
-    alpha = state.alpha
-    if cfg.do_multilevel:
-        sse = _psum(jnp.sum(e * e * row.valid))
-        draw = jax.random.gamma(next_key(), (alpha_0 + N) / 2.0,
-                                dtype=dtype) / ((gamma_0 + sse) / 2.0)
-        alpha = keep_finite(draw, alpha)
-    else:
-        alpha = jnp.asarray(alpha_0, dtype)
+    def rel_z(Dr):
+        """One [Dr] z-table per relation sweep (each attr drawn once)."""
+        if not cfg.do_sample:
+            return None
+        return jax.random.normal(next_key(), (Dr,), dtype)
 
-    # --- w0 ---
+    def guarded(mean, s2, z, cols, old):
+        if z is not None:
+            val = mean + jnp.sqrt(s2) * _gather(z, cols)
+        else:
+            val = mean
+        val = jnp.where(jnp.isfinite(s2), val, jnp.zeros_like(val))
+        return keep_finite(val, old)
+
+    alpha = draw_alpha(e, row.valid, state.alpha, cfg, N, next_key, dtype)
+
     w0 = state.w0
     if cfg.k0:
-        acc = _psum(jnp.sum((e - w0) * row.valid))
-        s2 = 1.0 / (cfg.reg0 + alpha * N)
-        mean = -s2 * (alpha * acc - w0_mean_0 * cfg.reg0)
-        new_w0 = _maybe_sample(cfg.do_sample, next_key(), mean, s2, w0,
-                               zero_on_bad_sigma=False)
-        e = e - (w0 - new_w0)
-        w0 = new_w0
+        e, w0 = draw_w0(e, row.valid, w0, cfg, alpha, N, next_key)
 
     w, v = state.w, state.v
     w_mu, w_lambda = state.w_mu, state.w_lambda
     v_mu, v_lambda = state.v_mu, state.v_lambda
     D_all = w.shape[0]
 
-    # --- group hyperpriors for w (joined groups cover relation attrs) ---
     if cfg.k1:
-        if cfg.do_multilevel:
-            dev = jax.ops.segment_sum((w - _gather(w_mu, plan.attr_group)) ** 2,
-                                      plan.attr_group, num_segments=G)
-            lam_gamma = beta_0 * (w_mu - mu_0) ** 2 + gamma_0 + dev
-            lam_alpha = alpha_0 + plan.num_attr_per_group + 1.0
-            if cfg.do_sample:
-                draw = jax.random.gamma(next_key(), lam_alpha / 2.0,
-                                        dtype=dtype) / (lam_gamma / 2.0)
-            else:
-                draw = lam_alpha / lam_gamma
-            w_lambda = keep_finite(draw, w_lambda)
-            wsum = jax.ops.segment_sum(w, plan.attr_group, num_segments=G)
-            mu_mean = (wsum + beta_0 * mu_0) / (plan.num_attr_per_group + beta_0)
-            mu_s2 = 1.0 / ((plan.num_attr_per_group + beta_0) * w_lambda)
-            w_mu = _maybe_sample(cfg.do_sample, next_key(), mu_mean, mu_s2,
-                                 w_mu, zero_on_bad_sigma=False)
-        else:
-            w_mu = jnp.full((G,), mu_0, dtype)
-
-        # --- main-block w sweep (draw_w, fm_learn_mcmc.h:671-718) ---
-        for bin_blocks in plan.blocks:
-            dw = jnp.zeros((D_all,), dtype)
-            for blk in bin_blocks:
-                rows, x = blk.rows[0], blk.x[0]
-                w_c = _gather(w, blk.cols)
-                mu_g = _gather(w_mu, blk.group)
-                lam_g = _gather(w_lambda, blk.group)
-                e_g = _gather(e, rows)
-                sxe = _psum((x * e_g).sum(-1))
-                w_mean = sxe - w_c * blk.sx2
-                s2 = 1.0 / (lam_g + alpha * blk.sx2)
-                mean = -s2 * (alpha * w_mean - mu_g * lam_g)
-                new_w = _maybe_sample(cfg.do_sample, next_key(), mean, s2, w_c)
-                w = w.at[blk.cols].set(new_w)
-                dw = dw.at[blk.cols].set(w_c - new_w)
-            for p in range(row.ids.shape[1]):
-                e = e - row.vals[:, p] * jnp.take(dw, row.ids[:, p])
-        # unobserved MAIN attrs -> prior (relation attrs handled below)
-        mu_d = _gather(w_mu, plan.attr_group)
-        lam_d = _gather(w_lambda, plan.attr_group)
-        new_un = _maybe_sample(cfg.do_sample, next_key(), mu_d, 1.0 / lam_d, w)
-        w = jnp.where(plan.unobserved, new_un, w)
+        # joined groups cover relation attrs too
+        w_mu, w_lambda = draw_w_hyperpriors(
+            w, w_mu, w_lambda, plan.attr_group, plan.num_attr_per_group,
+            cfg, G, next_key, dtype)
+        # main-block w sweep + unobserved-main prior draws (relation attrs
+        # are never touched: plan.unobserved is padded False over them)
+        e, w = w_sweep_main(e, w, w_mu, w_lambda, alpha, plan, row, cfg,
+                            next_key)
 
         # --- relation w sweeps (draw_w_rel, fm_learn_mcmc.h:722-780) ---
         for rd, rs in zip(rels, rstats):
@@ -379,6 +344,7 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
             we = _scatter_agg(R, parts, dtype)[0]  # [R] sum of e per rho
             wr = jax.lax.dynamic_slice_in_dim(w, off, Dr)
             dy = jnp.zeros((R,), dtype)
+            zr = rel_z(Dr)
             for bin_blocks in rd.rplan:
                 w_old_r = wr
                 dwr = jnp.zeros((Dr,), dtype)
@@ -394,8 +360,7 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                     w_mean = she - w_c * sh2
                     s2 = 1.0 / (lam_g + alpha * sh2)
                     mean = -s2 * (alpha * w_mean - mu_g * lam_g)
-                    new_w = _maybe_sample(cfg.do_sample, next_key(), mean, s2,
-                                          w_c)
+                    new_w = guarded(mean, s2, zr, blk.cols, w_c)
                     wr = wr.at[blk.cols].set(new_w)
                     dwr = dwr.at[blk.cols].set(w_c - new_w)
                 # relation-row-layout patch: we -= x dv wnum ; y += -x dv
@@ -404,37 +369,24 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                     xp = rd.rrow_vals[:, p]
                     we = we - xp * dv_e * rd.wnum
                     dy = dy - xp * dv_e
-            # unobserved relation attrs -> prior
+            # unobserved relation attrs -> prior (z reused: unused so far)
             mu_d = _gather(w_mu, rd.attr_group)
             lam_d = _gather(w_lambda, rd.attr_group)
-            new_un = _maybe_sample(cfg.do_sample, next_key(), mu_d,
-                                   1.0 / lam_d, wr)
-            wr = jnp.where(rd.unobserved, new_un, wr)
+            s2_d = 1.0 / lam_d
+            if zr is not None:
+                un = mu_d + jnp.sqrt(s2_d) * zr
+            else:
+                un = mu_d
+            un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
+            wr = jnp.where(rd.unobserved, keep_finite(un, wr), wr)
             w = jax.lax.dynamic_update_slice_in_dim(w, wr, off, axis=0)
             # resync e with the relation's linear delta
             e = e + jnp.take(dy, rd.join_tr)
 
-    # --- group hyperpriors for v ---
     if K > 0:
-        if cfg.do_multilevel:
-            dev = jax.ops.segment_sum(
-                ((v - take_rows(v_mu, plan.attr_group).T) ** 2).T,
-                plan.attr_group, num_segments=G)
-            lam_gamma = beta_0 * (v_mu - mu_0) ** 2 + gamma_0 + dev
-            lam_alpha = alpha_0 + plan.num_attr_per_group[:, None] + 1.0
-            if cfg.do_sample:
-                draw = jax.random.gamma(next_key(), lam_alpha / 2.0,
-                                        dtype=dtype) / (lam_gamma / 2.0)
-            else:
-                draw = lam_alpha / lam_gamma
-            v_lambda = keep_finite(draw, v_lambda)
-            vsum = jax.ops.segment_sum(v.T, plan.attr_group, num_segments=G)
-            mu_mean = (vsum + beta_0 * mu_0) / (plan.num_attr_per_group[:, None] + beta_0)
-            mu_s2 = 1.0 / ((plan.num_attr_per_group[:, None] + beta_0) * v_lambda)
-            v_mu = _maybe_sample(cfg.do_sample, next_key(), mu_mean, mu_s2,
-                                 v_mu, zero_on_bad_sigma=False)
-        else:
-            v_mu = jnp.full((G, K), mu_0, dtype)
+        v_mu, v_lambda = draw_v_hyperpriors(
+            v, v_mu, v_lambda, plan.attr_group, plan.num_attr_per_group,
+            cfg, G, K, next_key, dtype)
 
         def f_step(carry, xs):
             e, key = carry
@@ -453,51 +405,18 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                 qB_all.append(qB)
                 q = q + jnp.take(qB, rd.join_tr)
 
-            # --- main-block bins (draw_v, fm_learn_mcmc.h:784-840) ---
-            for bin_blocks in plan.blocks:
-                v_old_d = v_f
-                dv = jnp.zeros((D_all,), dtype)
-                for blk in bin_blocks:
-                    rows_b, x = blk.rows[0], blk.x[0]
-                    key, sub = jax.random.split(key)
-                    v_c = _gather(v_old_d, blk.cols)
-                    mu_g = _gather(mu_f, blk.group)
-                    lam_g = _gather(lam_f, blk.group)
-                    e_g = _gather(e, rows_b)
-                    q_g = _gather(q, rows_b)
-                    h = x * (q_g - x * v_c[:, None])
-                    she = _psum((h * e_g).sum(-1))
-                    sh2 = _psum((h * h).sum(-1))
-                    v_mean = she - v_c * sh2
-                    s2 = 1.0 / (lam_g + alpha * sh2)
-                    mean = -s2 * (alpha * v_mean - mu_g * lam_g)
-                    new_v = _maybe_sample(cfg.do_sample, sub, mean, s2, v_c)
-                    v_f = v_f.at[blk.cols].set(new_v)
-                    dv = dv.at[blk.cols].set(v_c - new_v)
-                vtab = jnp.stack([v_old_d, dv], axis=0)
-                dq = 0.0
-                de = 0.0
-                for p in range(row.ids.shape[1]):
-                    g = jnp.take(vtab, row.ids[:, p], axis=-1)
-                    xp = row.vals[:, p]
-                    h_e = xp * (q - xp * g[0])
-                    dq = dq + xp * g[1]
-                    de = de + h_e * g[1]
-                q = q - dq
-                e = e - de
-            # unobserved MAIN attrs -> prior
-            key, sub = jax.random.split(key)
-            mu_d = _gather(mu_f, plan.attr_group)
-            lam_d = _gather(lam_f, plan.attr_group)
-            new_un = _maybe_sample(cfg.do_sample, sub, mu_d, 1.0 / lam_d, v_f)
-            v_f = jnp.where(plan.unobserved, new_un, v_f)
+            # --- main-block bins + unobserved-main prior draws (shared
+            # helper; relation attrs stay untouched via the padded mask) ---
+            e, q, v_f, key = v_factor_main_bins(
+                e, q, v_f, mu_f, lam_f, alpha, plan, row, cfg, key)
 
             # --- relation sweeps (draw_v_rel, fm_learn_mcmc.h:842-899) ---
             for r_i, (rd, rs) in enumerate(zip(rels, rstats)):
                 R, Dr, off = rs.num_rows, rs.num_attrs, rs.attr_offset
                 qB = qB_all[r_i]
                 qO = q - jnp.take(qB, rd.join_tr)
-                # per-rho aggregates over the join (one [3, N] channel pass)
+                # per-rho aggregates over the join: one 4-channel [4, N]
+                # gather pass (e, e*qO, qO, qO^2)
                 ch = jnp.stack([e, e * qO, qO, qO * qO], axis=0)
                 parts = _join_aggregate(ch, rd.jplan)
                 parts = [(c, _psum(p)) for c, p in parts]
@@ -506,11 +425,15 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                 qB0 = qB
                 dy = jnp.zeros((R,), dtype)
                 vr = jax.lax.dynamic_slice_in_dim(v_f, off, Dr)
+                if cfg.do_sample:
+                    key, sub = jax.random.split(key)
+                    zv = jax.random.normal(sub, (Dr,), dtype)
+                else:
+                    zv = None
                 for bin_blocks in rd.rplan:
                     v_old_r = vr
                     dvr = jnp.zeros((Dr,), dtype)
                     for blk in bin_blocks:
-                        key, sub = jax.random.split(key)
                         x = blk.x
                         g = take_cols(
                             jnp.stack([qB, we, weq, wc, wc2, rd.wnum]),
@@ -527,7 +450,13 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                         v_mean = she - v_c * sh2
                         s2 = 1.0 / (lam_g + alpha * sh2)
                         mean = -s2 * (alpha * v_mean - mu_g * lam_g)
-                        new_v = _maybe_sample(cfg.do_sample, sub, mean, s2, v_c)
+                        if zv is not None:
+                            val = mean + jnp.sqrt(s2) * _gather(zv, blk.cols)
+                        else:
+                            val = mean
+                        val = jnp.where(jnp.isfinite(s2), val,
+                                        jnp.zeros_like(val))
+                        new_v = keep_finite(val, v_c)
                         vr = vr.at[blk.cols].set(new_v)
                         dvr = dvr.at[blk.cols].set(v_c - new_v)
                     # relation-row-layout cache patch (reference draw_v_rel
@@ -543,13 +472,13 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                         weq = weq - dv_e * (h_e * wc + xp * wc2)
                         dy = dy - dv_e * h_e
                         qB = qB - xp * dv_e
-                # unobserved relation attrs -> prior
-                key, sub = jax.random.split(key)
+                # unobserved relation attrs -> prior (zv reused: unused z's)
                 mu_d = _gather(mu_f, rd.attr_group)
                 lam_d = _gather(lam_f, rd.attr_group)
-                new_un = _maybe_sample(cfg.do_sample, sub, mu_d, 1.0 / lam_d,
-                                       vr)
-                vr = jnp.where(rd.unobserved, new_un, vr)
+                s2_d = 1.0 / lam_d
+                un = mu_d + jnp.sqrt(s2_d) * zv if zv is not None else mu_d
+                un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
+                vr = jnp.where(rd.unobserved, keep_finite(un, vr), vr)
                 v_f = jax.lax.dynamic_update_slice_in_dim(v_f, vr, off, axis=0)
                 # resync e and q (reference end-of-relation sync)
                 dqB = qB - qB0
@@ -626,7 +555,13 @@ class MCMCBSLearner(MCMCLearner):
         n_tr_pad = self.train_row.ids.shape[0]
         n_te_pad = self.test_row.ids.shape[0]
         devs, stats = [], []
+        min_off = num_main_attributes
         for rel, jt, je in zip(relations, joins_train, joins_test):
+            assert rel.attr_offset >= min_off, (
+                "relation attr_offset overlaps the main block or an earlier "
+                "relation — call build_joined_meta(meta_main, relations) "
+                "before constructing the learner")
+            min_off = rel.attr_offset + rel.num_features
             d, s = _build_rel_device(self.mesh, rel, np.asarray(jt),
                                      np.asarray(je), meta.attr_group,
                                      n_tr_pad, n_te_pad, bins=bins)

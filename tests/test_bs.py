@@ -172,8 +172,6 @@ def test_bs_classification():
     main, rel, items, meta, cfg, d_main = _setup(n=400)
     from svbfm_tpu.learners.base import TASK_CLASSIFICATION
     y = np.where(main.target > np.median(main.target), 1.0, -1.0)
-    main = dataclasses.replace(main, target=y.astype(np.float32)) \
-        if dataclasses.is_dataclass(main) else main
     main.target = y.astype(np.float32)
     cfg = dataclasses.replace(cfg, task=TASK_CLASSIFICATION, min_target=-1,
                               max_target=1)
