@@ -119,6 +119,12 @@ class RelStatic:
     attr_offset: int
     num_attrs: int  # Dr
     num_rows: int  # R
+    # patch_pos[b] = row-layout positions that contain bin b's columns.
+    # The per-bin cache patches gather a dv table through rrow_ids[:, p];
+    # positions holding no in-bin column gather only zeros, so skipping
+    # them is exact — and for field-structured relations it turns the
+    # O(bins * positions) patch-pass grid into O(bins) passes.
+    patch_pos: tuple = ()
 
 
 def _build_rel_device(mesh, rel: RelationData, join_tr: np.ndarray,
@@ -151,6 +157,15 @@ def _build_rel_device(mesh, rel: RelationData, join_tr: np.ndarray,
     rplan = SweepPlan.build(rcoo, Dr, meta_groups=joined_groups[off: off + Dr],
                             bins=bins, n_shards=1)
     wnum = np.bincount(join_tr, minlength=R).astype(np.float32)
+    # per-bin row-layout positions (see RelStatic.patch_pos)
+    patch_pos = []
+    for b in range(rplan.num_bins):
+        ps = []
+        for p in range(rel_ds.ids.shape[1]):
+            live = rel_ds.vals[:, p] != 0.0
+            if live.any() and (rplan.color[rel_ds.ids[live, p]] == b).any():
+                ps.append(p)
+        patch_pos.append(tuple(ps))
 
     jte = np.zeros(n_test_pad, np.int32)
     jte[: len(join_te)] = join_te.astype(np.int32)
@@ -179,7 +194,8 @@ def _build_rel_device(mesh, rel: RelationData, join_tr: np.ndarray,
         attr_group=put_replicated(
             mesh, joined_groups[off: off + Dr].astype(np.int32)),
     )
-    return dev, RelStatic(attr_offset=off, num_attrs=Dr, num_rows=R)
+    return dev, RelStatic(attr_offset=off, num_attrs=Dr, num_rows=R,
+                          patch_pos=tuple(patch_pos))
 
 
 def _rel_specs(dev: RelDevice) -> RelDevice:
@@ -345,7 +361,9 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
             wr = jax.lax.dynamic_slice_in_dim(w, off, Dr)
             dy = jnp.zeros((R,), dtype)
             zr = rel_z(Dr)
-            for bin_blocks in rd.rplan:
+            for b_i, bin_blocks in enumerate(rd.rplan):
+                if not bin_blocks:
+                    continue
                 w_old_r = wr
                 dwr = jnp.zeros((Dr,), dtype)
                 for blk in bin_blocks:
@@ -363,8 +381,9 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                     new_w = guarded(mean, s2, zr, blk.cols, w_c)
                     wr = wr.at[blk.cols].set(new_w)
                     dwr = dwr.at[blk.cols].set(w_c - new_w)
-                # relation-row-layout patch: we -= x dv wnum ; y += -x dv
-                for p in range(rd.rrow_ids.shape[1]):
+                # relation-row-layout patch over only the positions that
+                # hold this bin's columns: we -= x dv wnum ; y += -x dv
+                for p in rs.patch_pos[b_i]:
                     dv_e = jnp.take(dwr, rd.rrow_ids[:, p])
                     xp = rd.rrow_vals[:, p]
                     we = we - xp * dv_e * rd.wnum
@@ -388,21 +407,27 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
             v, v_mu, v_lambda, plan.attr_group, plan.num_attr_per_group,
             cfg, G, K, next_key, dtype)
 
+        # qB[K, R] per relation, channel-stacked over ALL factors in one
+        # gather pass per row-layout position (factor f's qB depends only on
+        # the PRE-SWEEP v[f], which is exactly what the scan consumes)
+        qB_pre = []
+        for rd, rs in zip(rels, rstats):
+            v_r = jax.lax.dynamic_slice_in_dim(v, rs.attr_offset,
+                                               rs.num_attrs, axis=1)  # [K, Dr]
+            qB = jnp.zeros((K, rs.num_rows), dtype)
+            for p in range(rd.rrow_ids.shape[1]):
+                qB = qB + (jnp.take(v_r, rd.rrow_ids[:, p], axis=-1)
+                           * rd.rrow_vals[:, p][None])
+            qB_pre.append(qB)
+
         def f_step(carry, xs):
             e, key = carry
-            v_f, mu_f, lam_f = xs  # [D_all], [G], [G]
+            v_f, mu_f, lam_f, qB_all = xs  # [D_all], [G], [G], per-rel [R]
             # total q: main row layout + per-relation qB gathers
             q = jnp.zeros_like(e)
             for p in range(row.ids.shape[1]):
                 q = q + jnp.take(v_f, row.ids[:, p]) * row.vals[:, p]
-            qB_all = []
-            for rd, rs in zip(rels, rstats):
-                vr = jax.lax.dynamic_slice_in_dim(v_f, rs.attr_offset,
-                                                  rs.num_attrs)
-                qB = jnp.zeros((rs.num_rows,), dtype)
-                for p in range(rd.rrow_ids.shape[1]):
-                    qB = qB + jnp.take(vr, rd.rrow_ids[:, p]) * rd.rrow_vals[:, p]
-                qB_all.append(qB)
+            for rd, qB in zip(rels, qB_all):
                 q = q + jnp.take(qB, rd.join_tr)
 
             # --- main-block bins + unobserved-main prior draws (shared
@@ -430,7 +455,9 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                     zv = jax.random.normal(sub, (Dr,), dtype)
                 else:
                     zv = None
-                for bin_blocks in rd.rplan:
+                for b_i, bin_blocks in enumerate(rd.rplan):
+                    if not bin_blocks:
+                        continue
                     v_old_r = vr
                     dvr = jnp.zeros((Dr,), dtype)
                     for blk in bin_blocks:
@@ -463,7 +490,7 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                     # final loop): each rho has <=1 in-bin entry, so h uses
                     # the pre-patch qB of its own row
                     vtab = jnp.stack([v_old_r, dvr], axis=0)
-                    for p in range(rd.rrow_ids.shape[1]):
+                    for p in rs.patch_pos[b_i]:
                         g = jnp.take(vtab, rd.rrow_ids[:, p], axis=-1)
                         xp = rd.rrow_vals[:, p]
                         v_e, dv_e = g[0], g[1]
@@ -487,7 +514,8 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                 q = q + g[1]
             return (e, key), v_f
 
-        (e, key), v = jax.lax.scan(f_step, (e, key), (v, v_mu.T, v_lambda.T))
+        (e, key), v = jax.lax.scan(
+            f_step, (e, key), (v, v_mu.T, v_lambda.T, tuple(qB_pre)))
 
     # --- full re-predict (fm_learn_mcmc.h predict_data_and_write_to_eterms) ---
     joins = [rd.join_tr for rd in rels]
