@@ -40,18 +40,12 @@ def make_relation(num_rows, num_onehot, num_attrs, seed):
         meta=DataMetaInfo(D))
 
 
-def main():
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    K = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    ua = int(sys.argv[3]) if len(sys.argv) > 3 else 20
-    ia = int(sys.argv[4]) if len(sys.argv) > 4 else 20
-    method = sys.argv[5] if len(sys.argv) > 5 else "als"
-    materialized = "--materialized" in sys.argv
-
-    from svbfm_tpu.data.dataset import SparseDataset
+def make_bs_problem(rows, ua, ia):
+    """The shared benchmark instance: Netflix/ML-shaped ratings with wide
+    per-user/per-item attribute relations.  Used by this script AND by
+    make_bs_ref_data.py (which feeds the identical data to the reference
+    binary), so keep it deterministic."""
     from svbfm_tpu.data.libfm_text import COOData
-    from svbfm_tpu.data.relation import build_joined_meta, join_relations
-    from svbfm_tpu.learners.base import FMConfig
 
     nu, ni = (71567, 10681) if rows <= 20_000_000 else (480189, 17770)
     rng = np.random.default_rng(5)
@@ -68,6 +62,23 @@ def main():
                    num_rows=rows, num_features=0)
     rel_u = make_relation(nu, nu, ua, seed=7)
     rel_i = make_relation(ni, ni, ia, seed=8)
+    return main, rel_u, rel_i, users, items, y
+
+
+def main():
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    ua = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    ia = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+    method = sys.argv[5] if len(sys.argv) > 5 else "als"
+    materialized = "--materialized" in sys.argv
+
+    from svbfm_tpu.data.dataset import SparseDataset
+    from svbfm_tpu.data.libfm_text import COOData
+    from svbfm_tpu.data.relation import build_joined_meta, join_relations
+    from svbfm_tpu.learners.base import FMConfig
+
+    main, rel_u, rel_i, users, items, y = make_bs_problem(rows, ua, ia)
     from svbfm_tpu.data.meta import DataMetaInfo
     meta = build_joined_meta(DataMetaInfo(0), [rel_u, rel_i])
     D = meta.num_attributes

@@ -190,6 +190,14 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     verbosity = cmd.get_int("verbosity", 0)
 
+    def _debug_data(coo) -> None:
+        # Data::debug (Data.h:569-579): first <=4 rows as "target id:value..."
+        first = np.searchsorted(coo.row, np.arange(5), side="left")
+        for r in range(min(4, coo.num_rows)):
+            ent = " ".join(f"{coo.col[j]}:{coo.val[j]:g}"
+                           for j in range(first[r], first[r + 1]))
+            print(f"{coo.target[r]:g} {ent}".rstrip())
+
     def _load(path):
         # reference Data::load picks binary .x/.y (or .data/.target) when
         # present, else parses the text file (Data.h:106-171)
@@ -217,7 +225,11 @@ def main(argv: Optional[list[str]] = None) -> int:
         train = None
     else:
         train = _load(train_file)
+        if verbosity > 0:
+            _debug_data(train)  # libfm.cpp:154
     test = _load(test_file)
+    if verbosity > 0:
+        _debug_data(test)  # libfm.cpp:158
     D = max(reader.num_cols if defer_train else train.num_features,
             test.num_features)
 
@@ -260,6 +272,10 @@ def main(argv: Optional[list[str]] = None) -> int:
             test = join_relations(test, rels, te_joins, D)
         D = meta.num_attributes
     G = meta.num_attr_groups
+    if verbosity > 0:  # DataMetaInfo::debug (Data.h:63-68, libfm.cpp:252)
+        print(f"#attr={meta.num_attributes}\t#groups={G}")
+        for g in range(G):
+            print(f"#attr_in_group[{g}]={meta.num_attr_per_group[g]}")
 
     # -regular parsing (libfm.cpp:367-427)
     reg = cmd.get_list("regular")
@@ -346,6 +362,8 @@ def main(argv: Optional[list[str]] = None) -> int:
         if not val_file:
             raise SystemExit("-validation is mandatory for SGDA")
         val = load_libfm_text(val_file)
+        if verbosity > 0:
+            _debug_data(val)  # libfm.cpp:184
         if task == TASK_CLASSIFICATION:
             val.target = np.where(val.target > 0, 1.0, -1.0).astype(np.float32)
         learner = SGDALearner(cfg, tr_ds, te_ds,
@@ -386,6 +404,29 @@ def main(argv: Optional[list[str]] = None) -> int:
         learner.map_eval = MapEval.from_file(
             cmd.get_str("map_eval"), cmd.get_int("map_item_offset", 0),
             cmd.get_int("map_k", 5))
+
+    if verbosity > 0:
+        # fm_model::debug + fm_learn*::debug (fm_model.h:81-90,
+        # fm_learn.h:157-161, fm_learn_sgd.h:66-69, fm_learn_mcmc.h:1237-1242)
+        print(f"num_attributes={D}")
+        print(f"use w0={int(k0)}")
+        print(f"use w1={int(k1)}")
+        print(f"dim v ={K}")
+        print(f"reg_w0={reg0:g}")
+        print(f"reg_w={regw:g}")
+        print(f"reg_v={regv:g}")
+        print(f"init ~ N(0,{cfg.init_stdev:g})")
+        if method == "sgda":  # adapt_reg.h:346-349
+            print("method=sgda")
+        if method in ("sgd", "sgda", "sgd_online", "exp_sgd", "exp_sgd_stoc"):
+            print(f"num_iter={cfg.num_iter}")  # fm_learn_sgd.h:66-69
+        print(f"task={task}")
+        print(f"min_target={min_t:g}")
+        print(f"max_target={max_t:g}")
+        if method == "mcmc":
+            print(f"do_multilevel={int(do_multilevel)}")
+            print(f"do_sampling={int(do_sample)}")
+            print(f"num_eval_cases={cmd.get_int('num_eval_cases', 0) or te_ds.num_rows}")
 
     run_kw = {}
     if cmd.has("checkpoint"):

@@ -178,3 +178,31 @@ def test_cli_binary_input(data_files, tmp_path):
                    "-test", tef, "-dim", "1,1,3", "-method", "als",
                    "-iter", "2", "-regular", "0.05"], str(tmp_path))
     assert rc == 0
+
+
+def test_cli_verbosity_debug(data_files, tmp_path, capsys):
+    # -verbosity > 0 prints the reference's debug dumps (libfm.cpp:154,
+    # 158,252,489-492): first <=4 data rows, meta group sizes, model and
+    # learner configuration
+    d, trf, tef, gf = data_files
+    rc = _run_cli(["-task", "r", "-train", trf, "-test", tef,
+                   "-dim", "1,1,3", "-method", "mcmc", "-iter", "2",
+                   "-meta", gf, "-verbosity", "1", "-seed", "1"],
+                  str(tmp_path))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "#attr=" in out and "#attr_in_group[1]=" in out
+    assert "num_attributes=" in out and "dim v =3" in out
+    assert "do_sampling=1" in out and "do_multilevel=1" in out
+    assert "min_target=" in out
+    # Data::debug rows: "target id:value ..." with 2 nnz per row
+    first = out.splitlines()[0]
+    assert ":" in first and len(first.split()) == 3
+
+    # verbosity=0 (default) prints none of it
+    rc = _run_cli(["-task", "r", "-train", trf, "-test", tef,
+                   "-dim", "1,1,3", "-method", "sgd", "-iter", "1",
+                   "-learn_rate", "0.02", "-seed", "1"], str(tmp_path))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "num_attributes=" not in out and "#attr=" not in out
