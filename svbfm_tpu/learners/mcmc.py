@@ -131,97 +131,13 @@ def _v_blocked_sweep(e, v, v_mu, v_lambda, alpha, plan, row, cfg, F, key,
     are disjoint per column (draws never touch the row caches mid-bin)."""
     K, D = v.shape
     dtype = v.dtype
-    ids, x_r = row.ids, row.vals
     mu_dk = take_rows(v_mu, plan.attr_group)  # [D, K]
     lam_dk = take_rows(v_lambda, plan.attr_group)
     nb = K // F
 
     def blk_step(e, v_t, mu_t, lam_t, key):
-        # v_t/mu_t/lam_t: [D, F]
-        if cfg.do_sample:
-            # ONE [F, D] standard-normal table per block step: every column
-            # is drawn exactly once per sweep (one bucket of one bin), so a
-            # per-column z is valid — and it removes the per-bucket
-            # split/normal chain that serializes the program on the key.
-            key, kb = jax.random.split(key)
-            z_d = jax.random.normal(kb, (F, D), dtype)
-        q = jnp.zeros((F, x_r.shape[0]), dtype)
-        v_tt = v_t.T  # [F, D]
-        for p in range(ids.shape[1]):
-            q = q + jnp.take(v_tt, ids[:, p], axis=-1) * x_r[:, p][None]
-        for bin_blocks in plan.blocks:
-            v_old_t = v_t
-            dv_d = jnp.zeros((D, F), dtype)
-            eq_t = jnp.concatenate([e[None], q], axis=0)  # [1+F, N]
-            for blk in bin_blocks:
-                C, L = blk.rows[0].shape
-                g = jnp.take(eq_t, blk.rows[0].reshape(-1), axis=-1)
-                g = g.reshape(1 + F, C, L)
-                e_g = g[0]
-                q_g = g[1:]  # [F, C, L]
-                x = blk.x[0]  # [C, L]
-                v_c = take_rows(v_old_t, blk.cols)  # [C, F]
-                mu_g = take_rows(mu_t, blk.cols)
-                lam_g = take_rows(lam_t, blk.cols)
-                # batched statistics (one psum): h, she vs pre-bin e, sh2,
-                # and the cross-factor matrix M for the sequential-draw
-                # corrections (see docstring)
-                h = x[None] * (q_g - x[None] * v_c.T[:, :, None])  # [F, C, L]
-                s0 = (h * e_g[None]).sum(-1)  # [F, C]
-                # sh2 (the conditional-variance denominator) always comes
-                # from the full-f32 VPU sum; the cross-factor matrix M is
-                # MXU work and must force f32 accumulation (Precision
-                # DEFAULT would drop it to bf16 on TPU and break the exact-
-                # conditionals contract)
-                sh2_raw = (h * h).sum(-1)  # [F, C]
-                if exact_seq:
-                    m_x = jnp.einsum("fcl,gcl->fgc", h, h,
-                                     precision=jax.lax.Precision.HIGHEST)
-                    s0, sh2_all, m_x = _psum((s0, sh2_raw, m_x))
-                else:
-                    s0, sh2_all = _psum((s0, sh2_raw))
-                    m_x = None
-                if cfg.do_sample:
-                    zmat = take_cols(z_d, blk.cols)  # [F, C]
-                if exact_seq:
-                    corr = jnp.zeros((F, C), dtype)
-                    new_cols = []
-                    for f in range(F):
-                        she = s0[f] - corr[f]
-                        sh2 = sh2_all[f]
-                        v_cf = v_c[:, f]
-                        v_mean = she - v_cf * sh2
-                        s2 = 1.0 / (lam_g[:, f] + alpha * sh2)
-                        mean = -s2 * (alpha * v_mean - mu_g[:, f] * lam_g[:, f])
-                        val = mean + jnp.sqrt(s2) * zmat[f] if cfg.do_sample else mean
-                        val = jnp.where(jnp.isfinite(s2), val, 0.0)
-                        new_v = keep_finite(val, v_cf)
-                        # closed-form effect of this draw on later factors' h·e
-                        if m_x is not None:
-                            corr = corr + (v_cf - new_v)[None, :] * m_x[f]
-                        new_cols.append(new_v)
-                    new_v_cf = jnp.stack(new_cols, axis=1)  # [C, F]
-                else:
-                    # factor-Jacobi: all F conditionals from the pre-bin e
-                    she, sh2 = s0.T, sh2_all.T  # [C, F]
-                    v_mean = she - v_c * sh2
-                    s2 = 1.0 / (lam_g + alpha * sh2)
-                    mean = -s2 * (alpha * v_mean - mu_g * lam_g)
-                    if cfg.do_sample:
-                        mean = mean + jnp.sqrt(s2) * zmat.T
-                    mean = jnp.where(jnp.isfinite(s2), mean, 0.0)
-                    new_v_cf = keep_finite(mean, v_c)
-                v_t = v_t.at[blk.cols].set(new_v_cf)
-                dv_d = dv_d.at[blk.cols].set(v_c - new_v_cf)
-            # exact per-bin patch (per-position flat gathers)
-            vtab = jnp.concatenate([v_old_t.T, dv_d.T], axis=0)  # [2F, D]
-            for p in range(ids.shape[1]):
-                gg = jnp.take(vtab, ids[:, p], axis=-1)  # [2F, N]
-                xp = x_r[:, p][None]
-                v_e, dv_e = gg[:F], gg[F:]
-                h_e = xp * (q - xp * v_e)
-                q = q - xp * dv_e
-                e = e - (h_e * dv_e).sum(0)
+        e, v_t, _q, key = _v_block_pass(e, v_t, mu_t, lam_t, key, plan, row,
+                                        cfg, alpha, exact_seq=exact_seq)
         return e, v_t, key
 
     for b in range(nb):
@@ -236,6 +152,106 @@ def _v_blocked_sweep(e, v, v_mu, v_lambda, alpha, plan, row, cfg, F, key,
         v_new = jnp.where(plan.unobserved[:, None], new_un, v_t)
         v = v.at[fs].set(v_new.T)
     return e, v, key
+
+
+def _v_block_pass(e, v_t, mu_t, lam_t, key, plan, row, cfg, alpha,
+                  exact_seq=True, q_extra=None):
+    """One factor-block bin sweep over the MAIN design (the body of
+    :func:`_v_blocked_sweep`; see its docstring for the correction algebra).
+
+    ``v_t``/``mu_t``/``lam_t`` are [D, F].  ``q_extra`` ([F, N], optional)
+    adds non-main contributions to the q cache — the BS learner passes the
+    per-relation qB gathers so h sees the TOTAL q (fm_learn_mcmc.h:510-560).
+    Returns ``(e, v_t, q, key)`` with q the post-sweep total q cache."""
+    D, F = v_t.shape
+    dtype = v_t.dtype
+    ids, x_r = row.ids, row.vals
+    if cfg.do_sample:
+        # ONE [F, D] standard-normal table per block step: every column
+        # is drawn exactly once per sweep (one bucket of one bin), so a
+        # per-column z is valid — and it removes the per-bucket
+        # split/normal chain that serializes the program on the key.
+        key, kb = jax.random.split(key)
+        z_d = jax.random.normal(kb, (F, D), dtype)
+    q = (jnp.zeros((F, x_r.shape[0]), dtype) if q_extra is None
+         else q_extra)
+    v_tt = v_t.T  # [F, D]
+    for p in range(ids.shape[1]):
+        q = q + jnp.take(v_tt, ids[:, p], axis=-1) * x_r[:, p][None]
+    for bin_blocks in plan.blocks:
+        v_old_t = v_t
+        dv_d = jnp.zeros((D, F), dtype)
+        eq_t = jnp.concatenate([e[None], q], axis=0)  # [1+F, N]
+        for blk in bin_blocks:
+            C, L = blk.rows[0].shape
+            g = jnp.take(eq_t, blk.rows[0].reshape(-1), axis=-1)
+            g = g.reshape(1 + F, C, L)
+            e_g = g[0]
+            q_g = g[1:]  # [F, C, L]
+            x = blk.x[0]  # [C, L]
+            v_c = take_rows(v_old_t, blk.cols)  # [C, F]
+            mu_g = take_rows(mu_t, blk.cols)
+            lam_g = take_rows(lam_t, blk.cols)
+            # batched statistics (one psum): h, she vs pre-bin e, sh2,
+            # and the cross-factor matrix M for the sequential-draw
+            # corrections (see docstring)
+            h = x[None] * (q_g - x[None] * v_c.T[:, :, None])  # [F, C, L]
+            s0 = (h * e_g[None]).sum(-1)  # [F, C]
+            # sh2 (the conditional-variance denominator) always comes
+            # from the full-f32 VPU sum; the cross-factor matrix M is
+            # MXU work and must force f32 accumulation (Precision
+            # DEFAULT would drop it to bf16 on TPU and break the exact-
+            # conditionals contract)
+            sh2_raw = (h * h).sum(-1)  # [F, C]
+            if exact_seq:
+                m_x = jnp.einsum("fcl,gcl->fgc", h, h,
+                                 precision=jax.lax.Precision.HIGHEST)
+                s0, sh2_all, m_x = _psum((s0, sh2_raw, m_x))
+            else:
+                s0, sh2_all = _psum((s0, sh2_raw))
+                m_x = None
+            if cfg.do_sample:
+                zmat = take_cols(z_d, blk.cols)  # [F, C]
+            if exact_seq:
+                corr = jnp.zeros((F, C), dtype)
+                new_cols = []
+                for f in range(F):
+                    she = s0[f] - corr[f]
+                    sh2 = sh2_all[f]
+                    v_cf = v_c[:, f]
+                    v_mean = she - v_cf * sh2
+                    s2 = 1.0 / (lam_g[:, f] + alpha * sh2)
+                    mean = -s2 * (alpha * v_mean - mu_g[:, f] * lam_g[:, f])
+                    val = mean + jnp.sqrt(s2) * zmat[f] if cfg.do_sample else mean
+                    val = jnp.where(jnp.isfinite(s2), val, 0.0)
+                    new_v = keep_finite(val, v_cf)
+                    # closed-form effect of this draw on later factors' h·e
+                    if m_x is not None:
+                        corr = corr + (v_cf - new_v)[None, :] * m_x[f]
+                    new_cols.append(new_v)
+                new_v_cf = jnp.stack(new_cols, axis=1)  # [C, F]
+            else:
+                # factor-Jacobi: all F conditionals from the pre-bin e
+                she, sh2 = s0.T, sh2_all.T  # [C, F]
+                v_mean = she - v_c * sh2
+                s2 = 1.0 / (lam_g + alpha * sh2)
+                mean = -s2 * (alpha * v_mean - mu_g * lam_g)
+                if cfg.do_sample:
+                    mean = mean + jnp.sqrt(s2) * zmat.T
+                mean = jnp.where(jnp.isfinite(s2), mean, 0.0)
+                new_v_cf = keep_finite(mean, v_c)
+            v_t = v_t.at[blk.cols].set(new_v_cf)
+            dv_d = dv_d.at[blk.cols].set(v_c - new_v_cf)
+        # exact per-bin patch (per-position flat gathers)
+        vtab = jnp.concatenate([v_old_t.T, dv_d.T], axis=0)  # [2F, D]
+        for p in range(ids.shape[1]):
+            gg = jnp.take(vtab, ids[:, p], axis=-1)  # [2F, N]
+            xp = x_r[:, p][None]
+            v_e, dv_e = gg[:F], gg[F:]
+            h_e = xp * (q - xp * v_e)
+            q = q - xp * dv_e
+            e = e - (h_e * dv_e).sum(0)
+    return e, v_t, q, key
 
 
 # Budget for the blocked sweep's big temps in PADDED f32 elements (~5 GB of

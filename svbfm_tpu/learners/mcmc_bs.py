@@ -70,7 +70,7 @@ from svbfm_tpu.learners.mcmc import (
     _row_specs,
     _state_specs,
 )
-from svbfm_tpu.ops.segment import take_cols
+from svbfm_tpu.ops.segment import take_cols, take_rows
 from svbfm_tpu.parallel.mesh import DATA_AXIS, put_replicated, shard_rows
 
 
@@ -269,6 +269,196 @@ def bs_scores(w0, w, v, ids, vals, rels, rstats, joins, k0=True, k1=True,
 
 
 # ---------------------------------------------------------------------------
+# Factor-blocked BS v sweep
+# ---------------------------------------------------------------------------
+#
+# The coordinate order is: per factor-block B of size F — main bins
+# (bin-major, factor-minor: learners.mcmc._v_block_pass), then each relation
+# in turn with factors OUTER and the relation's conflict-free bins inner.
+# Exactness hinges on one invariant: while relation r is being swept (all F
+# factors), qO_{r,f} = q_f - qB_{r,f}[join] NEVER changes (updating v[f, i]
+# for a relation attr changes q_f and qB_{r,f}[join] by the same amount), so
+# the qO moments
+#
+#   wc_f[rho]      = sum_{n: j(n)=rho} qO_f[n]
+#   wcc_{f,g}[rho] = sum qO_f[n] qO_g[n]      (wc2_f = wcc_{f,f})
+#
+# are constants of the whole relation sweep and ONE channel-stacked join
+# pass produces every aggregate all F factors need.  Only the e-aggregates
+# evolve: factor f's draws change e by  de_n = dy_f[rho] + qO_f[n] dqB_f[rho]
+# (dy/dqB the per-rho prediction/qB deltas), giving closed-form corrections
+#
+#   we[rho]    += wnum dy_f + wc_f dqB_f          (its own bins patch this
+#                                                  incrementally, as before)
+#   weq_g[rho] += dy_f wc_g + dqB_f wcc_{f,g}     (applied once per factor
+#                                                  for the LATER factors g)
+#
+# so the per-factor scan touches only [R]-level arrays; the O(K) per-factor
+# join passes of the sequential path collapse to O(1) per block.  The float64
+# oracle tests/oracle.py:BSBlockedALSOracle pins this order end to end.
+
+def _bs_rel_block_sweep(vblk, e, q, key, rd, rs: RelStatic, b0: int,
+                        qB_full, mu_dk, lam_dk, alpha, cfg: FMConfig, F: int):
+    """Sweep ONE relation's attributes for factors [b0, b0+F) with exact
+    sequential conditionals (draw_v_rel, fm_learn_mcmc.h:842-899).
+
+    vblk: [F, D_all] the block's factor rows; q: [F, N] total q caches.
+    Returns (vblk, e, q, key)."""
+    R, Dr, off = rs.num_rows, rs.num_attrs, rs.attr_offset
+    dtype = e.dtype
+    qB_blk = jax.lax.dynamic_slice_in_dim(qB_full, b0, F, axis=0)  # [F, R]
+    qO = q - take_cols(qB_blk, rd.join_tr)  # [F, N] — sweep-invariant
+    iu0, iu1 = np.triu_indices(F)
+    # one join pass: e, e*qO_f, qO_f, and the upper triangle of qO_f*qO_g
+    ch = jnp.concatenate(
+        [e[None], e[None] * qO, qO, qO[iu0] * qO[iu1]], axis=0)
+    parts = _join_aggregate(ch, rd.jplan)
+    parts = [(c, _psum(p)) for c, p in parts]
+    agg = _scatter_agg(R, parts, dtype)  # [CH, R]
+    we0 = agg[0]
+    weq0 = agg[1: 1 + F]  # [F, R]
+    wc = agg[1 + F: 1 + 2 * F]  # [F, R]
+    wcc_u = agg[1 + 2 * F:]  # [F(F+1)/2, R]
+    sym = np.zeros((F, F), np.int64)
+    sym[iu0, iu1] = np.arange(len(iu0))
+    sym[iu1, iu0] = sym[iu0, iu1]
+    wcc = take_rows(wcc_u, jnp.asarray(sym.reshape(-1))).reshape(F, F, R)
+    wc2 = take_rows(wcc_u, jnp.asarray(sym.diagonal().copy()))  # [F, R]
+
+    mu_r = jax.lax.dynamic_slice(mu_dk, (off, b0), (Dr, F))  # [Dr, F]
+    lam_r = jax.lax.dynamic_slice(lam_dk, (off, b0), (Dr, F))
+    vr_blk = jax.lax.dynamic_slice_in_dim(vblk, off, Dr, axis=1)  # [F, Dr]
+    key, sub = jax.random.split(key)
+    zv = (jax.random.normal(sub, (F, Dr), dtype) if cfg.do_sample
+          else jnp.zeros((F, Dr), dtype))
+
+    def fstep(carry, xs):
+        we_run, weq_run = carry  # [R], [F, R]
+        fi, vr_f, qB_f, z_f, mu_f, lam_f, wcc_f, wc_f, wc2_f = xs
+        weq_f = jnp.take(weq_run, fi, axis=0)  # [R]
+        qB_f0 = qB_f
+        dy = jnp.zeros((R,), dtype)
+        for b_i, bin_blocks in enumerate(rd.rplan):
+            if not bin_blocks:
+                continue
+            v_old_r = vr_f
+            dvr = jnp.zeros((Dr,), dtype)
+            for blk in bin_blocks:
+                x = blk.x
+                g = take_cols(
+                    jnp.stack([qB_f, we_run, weq_f, wc_f, wc2_f, rd.wnum]),
+                    blk.rows)  # [6, C, L]
+                qB_g, we_g, weq_g, wc_g, wc2_g, wn_g = (
+                    g[0], g[1], g[2], g[3], g[4], g[5])
+                v_c = _gather(v_old_r, blk.cols)
+                mu_g = _gather(mu_f, blk.cols)
+                lam_g = _gather(lam_f, blk.cols)
+                h = x * (qB_g - x * v_c[:, None])
+                she = (h * we_g + x * weq_g).sum(-1)
+                sh2 = (h * h * wn_g + 2.0 * wc_g * x * h
+                       + x * x * wc2_g).sum(-1)
+                v_mean = she - v_c * sh2
+                s2 = 1.0 / (lam_g + alpha * sh2)
+                mean = -s2 * (alpha * v_mean - mu_g * lam_g)
+                if cfg.do_sample:
+                    val = mean + jnp.sqrt(s2) * _gather(z_f, blk.cols)
+                else:
+                    val = mean
+                val = jnp.where(jnp.isfinite(s2), val, jnp.zeros_like(val))
+                new_v = keep_finite(val, v_c)
+                vr_f = vr_f.at[blk.cols].set(new_v)
+                dvr = dvr.at[blk.cols].set(v_c - new_v)
+            # relation-row-layout cache patch (reference draw_v_rel final
+            # loop): each rho has <=1 in-bin entry, so h uses the pre-patch
+            # qB of its own row
+            vtab = jnp.stack([v_old_r, dvr], axis=0)
+            for p in rs.patch_pos[b_i]:
+                gp = jnp.take(vtab, rd.rrow_ids[:, p], axis=-1)
+                xp = rd.rrow_vals[:, p]
+                v_e, dv_e = gp[0], gp[1]
+                h_e = xp * (qB_f - xp * v_e)
+                we_run = we_run - dv_e * (h_e * rd.wnum + xp * wc_f)
+                weq_f = weq_f - dv_e * (h_e * wc_f + xp * wc2_f)
+                dy = dy - dv_e * h_e
+                qB_f = qB_f - xp * dv_e
+        dqB = qB_f - qB_f0
+        # closed-form effect of this factor's draws on the OTHER factors'
+        # e-aggregates (weq rows; we_run was patched in-bin already)
+        is_fi = (jnp.arange(F) == fi)[:, None]
+        upd = dy[None] * wc + dqB[None] * wcc_f  # [F, R]
+        weq_run = jnp.where(is_fi, weq_f[None], weq_run + upd)
+        # unobserved relation attrs -> prior
+        s2_d = 1.0 / lam_f
+        un = mu_f + jnp.sqrt(s2_d) * z_f if cfg.do_sample else mu_f
+        un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
+        vr_f = jnp.where(rd.unobserved, keep_finite(un, vr_f), vr_f)
+        return (we_run, weq_run), (vr_f, dy, dqB)
+
+    xs = (jnp.arange(F), vr_blk, qB_blk, zv, mu_r.T, lam_r.T, wcc, wc, wc2)
+    (_, _), (vr_new, dys, dqBs) = jax.lax.scan(fstep, (we0, weq0), xs)
+    vblk = jax.lax.dynamic_update_slice_in_dim(vblk, vr_new, off, axis=1)
+    # resync e and q for the whole block in one gather pass
+    gg = take_cols(jnp.concatenate([dys, dqBs], axis=0), rd.join_tr)  # [2F,N]
+    e = e + gg[:F].sum(0) + (qO * gg[F:]).sum(0)
+    q = q + gg[F:]
+    return vblk, e, q, key
+
+
+def _bs_v_blocked(e, v, v_mu, v_lambda, alpha, plan, row, rels, rstats,
+                  cfg: FMConfig, qB_pre, F: int, key):
+    """Factor-blocked BS v sweep (see the order/correction notes above)."""
+    from svbfm_tpu.learners.mcmc import _maybe_sample, _v_block_pass
+    from svbfm_tpu.ops.segment import take_rows as _take_rows
+
+    dtype = v.dtype
+    K, D_all = v.shape
+    n_loc = e.shape[0]
+    mu_dk = _take_rows(v_mu, plan.attr_group)  # [D_all, K]
+    lam_dk = _take_rows(v_lambda, plan.attr_group)
+    has_main = any(len(bb) for bb in plan.blocks)
+    for b0 in range(0, K, F):
+        q = jnp.zeros((F, n_loc), dtype)
+        for rd, qB in zip(rels, qB_pre):
+            q = q + take_cols(
+                jax.lax.dynamic_slice_in_dim(qB, b0, F, axis=0), rd.join_tr)
+        v_t = jax.lax.dynamic_slice_in_dim(v, b0, F, axis=0).T  # [D_all, F]
+        mu_t = jax.lax.dynamic_slice_in_dim(mu_dk, b0, F, axis=1)
+        lam_t = jax.lax.dynamic_slice_in_dim(lam_dk, b0, F, axis=1)
+        if has_main:
+            e, v_t, q, key = _v_block_pass(e, v_t, mu_t, lam_t, key, plan,
+                                           row, cfg, alpha, q_extra=q)
+            # unobserved MAIN columns -> prior (plan.unobserved is padded
+            # False over relation attrs, so they are never touched here)
+            key, sub = jax.random.split(key)
+            new_un = _maybe_sample(cfg.do_sample, sub, mu_t, 1.0 / lam_t, v_t)
+            v_t = jnp.where(plan.unobserved[:, None], new_un, v_t)
+        vblk = v_t.T  # [F, D_all]
+        for r_i, (rd, rs) in enumerate(zip(rels, rstats)):
+            vblk, e, q, key = _bs_rel_block_sweep(
+                vblk, e, q, key, rd, rs, b0, qB_pre[r_i], mu_dk, lam_dk,
+                alpha, cfg, F)
+        v = jax.lax.dynamic_update_slice_in_dim(v, vblk, b0, axis=0)
+    return e, v, key
+
+
+# Budget for the blocked BS sweep's big temps in padded f32 elements: the
+# [CH, N] channel stack + its join-plan gather (CH = 1 + 2F + F(F+1)/2),
+# the [F, N] q/qO caches, and the [F, F, R] cross-moment table.
+def _bs_blocked_peak_elems(F: int, n_loc: int, max_R: int) -> int:
+    ch = 1 + 2 * F + F * (F + 1) // 2
+    return ch * n_loc * 2 + 4 * F * n_loc + F * F * max_R
+
+
+def _bs_auto_factor_block(K: int, n_loc: int, max_R: int) -> int:
+    from svbfm_tpu.learners.mcmc import MCMC_BLOCK_BUDGET
+    for d in range(K, 1, -1):
+        if K % d == 0 and _bs_blocked_peak_elems(d, n_loc, max_R) \
+                <= MCMC_BLOCK_BUDGET:
+            return d
+    return 1
+
+
+# ---------------------------------------------------------------------------
 # BS Gibbs / ALS draw
 # ---------------------------------------------------------------------------
 
@@ -420,6 +610,23 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                            * rd.rrow_vals[:, p][None])
             qB_pre.append(qB)
 
+        # factor execution: blocked by default (cfg.factor_block=0 is
+        # auto-resolved by the learner; =1 forces the reference's
+        # factor-sequential chain, the exact reference coordinate order)
+        F_eff = 1 if cfg.factor_block == 1 else \
+            (min(cfg.factor_block, K) if cfg.factor_block > 0 else K)
+        if F_eff > 1 and K % F_eff == 0:
+            e, v, key = _bs_v_blocked(e, v, v_mu, v_lambda, alpha, plan, row,
+                                      rels, rstats, cfg, qB_pre, F_eff, key)
+            joins = [rd.join_tr for rd in rels]
+            yhat = bs_scores(w0, w, v, row.ids, row.vals, rels, rstats, joins,
+                             k0=cfg.k0, k1=cfg.k1)
+            if cfg.task == TASK_REGRESSION:
+                yhat = yhat - row.target
+            return MCMCState(w0=w0, w=w, v=v, alpha=alpha, w_mu=w_mu,
+                             w_lambda=w_lambda, v_mu=v_mu, v_lambda=v_lambda,
+                             e=yhat, key=key)
+
         def f_step(carry, xs):
             e, key = carry
             v_f, mu_f, lam_f, qB_all = xs  # [D_all], [G], [G], per-rel [R]
@@ -429,7 +636,6 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                 q = q + jnp.take(v_f, row.ids[:, p]) * row.vals[:, p]
             for rd, qB in zip(rels, qB_all):
                 q = q + jnp.take(qB, rd.join_tr)
-
             # --- main-block bins + unobserved-main prior draws (shared
             # helper; relation attrs stay untouched via the padded mask) ---
             e, q, v_f, key = v_factor_main_bins(
@@ -597,6 +803,29 @@ class MCMCBSLearner(MCMCLearner):
             stats.append(s)
         self.rels = tuple(devs)
         self.rstats = tuple(stats)
+        if cfg.factor_block == 0 and cfg.num_factor > 1:
+            # auto-pick the factor block so both the main-block pass and the
+            # relation moments pass fit the HBM budget (1 = sequential scan)
+            import dataclasses
+
+            from svbfm_tpu.learners.mcmc import (MCMC_BLOCK_BUDGET,
+                                                 _blocked_peak_elems)
+            n_loc = self.train_row.ids.shape[0] // n
+            max_R = max((s.num_rows for s in stats), default=1)
+            has_main = any(len(bb) for bb in self.plan.blocks)
+            fb = 1
+            for d in range(cfg.num_factor, 1, -1):
+                if cfg.num_factor % d:
+                    continue
+                if _bs_blocked_peak_elems(d, n_loc, max_R) > MCMC_BLOCK_BUDGET:
+                    continue
+                if has_main and _blocked_peak_elems(self.plan, d, n_loc) \
+                        > MCMC_BLOCK_BUDGET:
+                    continue
+                fb = d
+                break
+            cfg = dataclasses.replace(cfg, factor_block=fb)
+            self.cfg = cfg
         self._extra_args = (self.rels,)
         self._extra_specs = (tuple(_rel_specs(d) for d in self.rels),)
         self._build_jits()

@@ -617,3 +617,81 @@ class BinOrderALSOracle(ALSOracle):
                                self.v, self.row, self.col, self.val, self.N)
         self.e = yhat - self.y
         return self.e
+
+
+class BSBlockedALSOracle(ALSOracle):
+    """ALSOracle with the factor-blocked BLOCK-STRUCTURE coordinate order
+    (learners.mcmc_bs blocked path): per factor-block B of size F —
+    main bins outermost with factors inner (matching _v_blocked_sweep),
+    then each relation in turn with factors OUTER and the relation's bins
+    inner.  Every conditional is computed naively from the expanded design
+    matrix, so it independently pins the blocked BS path's aggregate-level
+    cross-factor corrections (we/weq updates via wc/wcc moments)."""
+
+    def __init__(self, *args, main_bins=None, rel_bins=None, factor_block=0,
+                 **kw):
+        super().__init__(*args, **kw)
+        self.main_bins = [np.asarray(b) for b in (main_bins or [])]
+        self.rel_bins = [[np.asarray(b) for b in rb] for rb in (rel_bins or [])]
+        self.F = factor_block if factor_block > 0 else self.K
+
+    def _upd_col(self, f, i, q):
+        r, x = self.cols.col(i)
+        if len(r) == 0:
+            self.v[f, i] = 0.0
+            return
+        vv = self.v[f, i]
+        h = x * (q[f][r] - x * vv)
+        sh2 = np.sum(h * h)
+        v_mean = np.sum(h * self.e[r]) - vv * sh2
+        s2 = 1.0 / (self.regv + self.alpha * sh2)
+        new_v = -s2 * self.alpha * v_mean
+        dv = vv - new_v
+        q[f][r] -= x * dv
+        self.e[r] -= h * dv
+        self.v[f, i] = new_v
+
+    def iterate(self):
+        alpha = self.alpha
+        if self.k0:
+            acc = np.sum(self.e - self.w0)
+            s2 = 1.0 / (self.reg0 + alpha * self.N)
+            new_w0 = -s2 * alpha * acc
+            self.e -= self.w0 - new_w0
+            self.w0 = new_w0
+        if self.k1:
+            all_bins = list(self.main_bins) + [b for rb in self.rel_bins
+                                               for b in rb]
+            for cols_b in all_bins:
+                for i in cols_b:
+                    r, x = self.cols.col(i)
+                    if len(r) == 0:
+                        self.w[i] = 0.0
+                        continue
+                    sx2 = np.sum(x * x)
+                    w_mean = np.sum(x * self.e[r]) - self.w[i] * sx2
+                    s2 = 1.0 / (self.regw + alpha * sx2)
+                    new_w = -s2 * alpha * w_mean
+                    self.e[r] -= x * (self.w[i] - new_w)
+                    self.w[i] = new_w
+        for b0 in range(0, self.K, self.F):
+            fs = range(b0, min(b0 + self.F, self.K))
+            q = np.zeros((self.K, self.N))
+            for f in fs:
+                np.add.at(q[f], self.row, self.v[f, self.col] * self.val)
+            # main block: bins outer, factors inner (_v_blocked_sweep order)
+            for cols_b in self.main_bins:
+                for f in fs:
+                    for i in cols_b:
+                        self._upd_col(f, i, q)
+            # relations: factors outer, the relation's bins inner
+            for rbins in self.rel_bins:
+                for f in fs:
+                    for cols_b in rbins:
+                        for i in cols_b:
+                            self._upd_col(f, i, q)
+        yhat = fm_scores_dense(self.w0 if self.k0 else 0.0,
+                               self.w if self.k1 else np.zeros(self.D),
+                               self.v, self.row, self.col, self.val, self.N)
+        self.e = yhat - self.y
+        return self.e

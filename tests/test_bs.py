@@ -64,7 +64,8 @@ def test_bs_als_matches_materialized(n_dev):
     mesh = make_mesh(n_dev)
     D = cfg.num_attributes
     tr = SparseDataset.from_coo(main, D)
-    bs = ALSBSLearner(cfg, tr, tr, [rel], [items], [items], meta, d_main,
+    bs = ALSBSLearner(dataclasses.replace(cfg, factor_block=1), tr, tr,
+                      [rel], [items], [items], meta, d_main,
                       mesh=mesh, write_files=False)
     s_bs, h_bs = bs.run(num_iter=4, verbose=False)
 
@@ -90,7 +91,8 @@ def test_bs_als_matches_binorder_oracle():
     mesh = make_mesh(1)
     D = cfg.num_attributes
     tr = SparseDataset.from_coo(main, D)
-    bs = ALSBSLearner(cfg, tr, tr, [rel], [items], [items], meta, d_main,
+    bs = ALSBSLearner(dataclasses.replace(cfg, factor_block=1), tr, tr,
+                      [rel], [items], [items], meta, d_main,
                       mesh=mesh, write_files=False)
     # combined bin coloring: main plan bins, then each relation's bins after
     color = np.zeros(D, np.int32)
@@ -133,7 +135,8 @@ def test_bs_gibbs_trajectory_matches_materialized(n_dev):
     mesh = make_mesh(n_dev)
     D = cfg.num_attributes
     tr = SparseDataset.from_coo(main, D)
-    bs = MCMCBSLearner(cfg, tr, tr, [rel], [items], [items], meta, d_main,
+    bs = MCMCBSLearner(dataclasses.replace(cfg, factor_block=1), tr, tr,
+                       [rel], [items], [items], meta, d_main,
                        mesh=mesh, write_files=False)
     s_bs, h_bs = bs.run(num_iter=8, verbose=False)
     joined = join_relations(main, [rel], [items], d_main)
@@ -181,3 +184,69 @@ def test_bs_classification():
                        mesh=mesh, write_files=False)
     _, h = bs.run(num_iter=8, verbose=False)
     assert h[-1]["accuracy"] > 0.6
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_bs_blocked_als_matches_oracle(n_dev):
+    """The factor-blocked BS sweep (default path: ONE moments join-pass per
+    relation per block + closed-form we/weq cross-factor corrections) must
+    match a float64 oracle that walks the same coordinate order naively on
+    the expanded design matrix."""
+    from oracle import BSBlockedALSOracle
+
+    main, rel, items, meta, cfg, d_main = _setup()
+    mesh = make_mesh(n_dev)
+    D = cfg.num_attributes
+    tr = SparseDataset.from_coo(main, D)
+    bs = ALSBSLearner(cfg, tr, tr, [rel], [items], [items], meta, d_main,
+                      mesh=mesh, write_files=False)
+    assert bs.cfg.factor_block == cfg.num_factor  # auto -> full block
+
+    from svbfm_tpu.data.dataset import SweepPlan
+    main_bins = [np.flatnonzero(bs.plan.color[:d_main] == b)
+                 for b in range(bs.plan.num_bins)]
+    rcoo = COOData(row=rel.row, col=rel.col, val=rel.val,
+                   target=np.zeros(rel.num_rows, np.float32),
+                   num_rows=rel.num_rows, num_features=rel.num_features)
+    rplan = SweepPlan.build(rcoo, rel.num_features, bins="auto", n_shards=1)
+    rel_bins = [[d_main + np.flatnonzero(rplan.color == b)
+                 for b in range(rplan.num_bins)]]
+
+    joined = join_relations(main, [rel], [items], d_main)
+    orc = BSBlockedALSOracle(joined.row, joined.col, joined.val,
+                             joined.target, D, cfg.num_factor,
+                             groups=meta.attr_group, regw=0.05, regv=0.05,
+                             main_bins=main_bins, rel_bins=rel_bins,
+                             factor_block=cfg.num_factor)
+    state = bs.init_state()
+    orc.init(float(state.w0), np.asarray(state.w), np.asarray(state.v))
+    for _ in range(3):
+        state = bs._step(state, bs.train_row, bs.plan_data, bs.rels)
+        orc.iterate()
+        np.testing.assert_allclose(float(state.w0), orc.w0, rtol=2e-3,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(state.w), orc.w, rtol=5e-3,
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(state.v), orc.v, rtol=5e-3,
+                                   atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(state.e)[: joined.num_rows], orc.e, rtol=5e-3,
+            atol=5e-3)
+
+
+def test_bs_blocked_gibbs_matches_sequential_closely():
+    """Blocked BS Gibbs (a different but equally valid scan order) must
+    reach the same posterior as the factor-sequential chain."""
+    main, rel, items, meta, cfg, d_main = _setup(n=400)
+    mesh = make_mesh(1)
+    tr = SparseDataset.from_coo(main, cfg.num_attributes)
+    l_blk = MCMCBSLearner(cfg, tr, tr, [rel], [items], [items], meta, d_main,
+                          mesh=mesh, write_files=False)
+    assert l_blk.cfg.factor_block == cfg.num_factor
+    l_seq = MCMCBSLearner(dataclasses.replace(cfg, factor_block=1), tr, tr,
+                          [rel], [items], [items], meta, d_main,
+                          mesh=mesh, write_files=False)
+    _, h_blk = l_blk.run(num_iter=10, verbose=False)
+    _, h_seq = l_seq.run(num_iter=10, verbose=False)
+    assert abs(h_blk[-1]["rmse"] - h_seq[-1]["rmse"]) < 0.05
+    assert h_blk[-1]["rmse"] < 0.6
