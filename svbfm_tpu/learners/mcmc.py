@@ -607,6 +607,18 @@ class MCMCLearner:
                               else np.full((cfg.num_groups, cfg.num_factor), cfg.regv, np.float32))
         self._build_jits()
 
+    # Spec trees for the jitted programs — overridable so sharded variants
+    # (e.g. the feature-sharded parallel.tp_mcmc learner) reuse the whole
+    # run/fused-eval/checkpoint machinery with their own layouts.
+    def _sspec(self):
+        return _state_specs()
+
+    def _rspec(self):
+        return _row_specs()
+
+    def _pspec(self):
+        return plan_specs_for(self.plan_data)
+
     def _build_jits(self):
         cfg = self.cfg
         num_cases = float(self.train_n)
@@ -616,8 +628,8 @@ class MCMCLearner:
 
         self._step = jax.jit(jax.shard_map(
             step_fn, mesh=self.mesh,
-            in_specs=(_state_specs(), _row_specs(), plan_specs_for(self.plan_data)),
-            out_specs=_state_specs(),
+            in_specs=(self._sspec(), self._rspec(), self._pspec()),
+            out_specs=self._sspec(),
         ))
 
         def scores_fn(w0, w, v, ids, vals):
@@ -731,10 +743,10 @@ class MCMCLearner:
 
         fn = jax.jit(jax.shard_map(
             multi, mesh=self.mesh,
-            in_specs=(_state_specs(), shd, shd, P(), _row_specs(),
-                      plan_specs_for(self.plan_data), _row_specs(),
+            in_specs=(self._sspec(), shd, shd, P(), self._rspec(),
+                      self._pspec(), self._rspec(),
                       *self._extra_specs),
-            out_specs=(_state_specs(), shd, shd, P(), P()),
+            out_specs=(self._sspec(), shd, shd, P(), P()),
         ))
         self._fused_cache[chunk] = fn
         return fn
@@ -761,7 +773,7 @@ class MCMCLearner:
         # match the step's output shardings to avoid a recompile on step 1
         from jax.sharding import NamedSharding
         shardings = jax.tree.map(lambda spec: NamedSharding(self.mesh, spec),
-                                 _state_specs())
+                                 self._sspec())
         return jax.device_put(state, shardings)
 
     def predict_test_scores(self, state: MCMCState) -> np.ndarray:
@@ -806,7 +818,7 @@ class MCMCLearner:
                 blob, it, _meta = restored
                 from jax.tree_util import tree_map
                 state_sh = jax.tree.map(lambda spec: NamedSharding(self.mesh, spec),
-                                        _state_specs())
+                                        self._sspec())
                 state = jax.device_put(blob["state"], state_sh)
                 psum_all = jax.device_put(blob["psum_all"], shd)
                 psum_but5 = jax.device_put(blob["psum_but5"], shd)
