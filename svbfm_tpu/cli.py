@@ -66,6 +66,10 @@ Flags (libFM-compatible; -name value):
   -profile     jax.profiler trace directory (TensorBoard/XProf)
   -distributed 1 to initialize jax.distributed multi-host SPMD (or set
                SVBFM_COORDINATOR/SVBFM_NUM_PROCESSES/SVBFM_PROCESS_ID)
+  -feature_shards  shard the w/v parameter tables over this many devices
+               (tensor parallelism over a (data, feature) mesh; vb/mcmc/als
+               only; device count must be divisible by it) — use when D*K
+               outgrows one device's HBM (extension)
   -help        this screen
 """
 
@@ -132,7 +136,8 @@ KNOWN = {"task", "meta", "train", "test", "validation", "out", "dim",
          "batch", "do_sampling", "do_multilevel", "num_eval_cases", "bins",
          "factor_block", "factor_jacobi", "checkpoint", "checkpoint_every",
          "map_eval",
-         "map_item_offset", "map_k", "profile", "distributed"}
+         "map_item_offset", "map_k", "profile", "distributed",
+         "feature_shards"}
 
 
 def main(argv: Optional[list[str]] = None) -> int:
@@ -324,6 +329,23 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     rlog = RLog(cmd.get_str("rlog") or None)
 
+    # -feature_shards: tensor-parallel training over a (data, feature)
+    # mesh — w/v tables shard over `fs` devices (extension; parallel/tp_*)
+    fs = cmd.get_int("feature_shards", 1)
+    tp_mesh = None
+    if fs > 1:
+        if method not in ("mcmc", "als", "vb"):
+            raise SystemExit("-feature_shards supports vb/mcmc/als only")
+        if cmd.has("relation"):
+            raise SystemExit("-feature_shards is not supported with native "
+                             "-relation block structure")
+        import jax as _jax
+        if len(_jax.devices()) % fs:
+            raise SystemExit(f"-feature_shards {fs} does not divide the "
+                             f"device count {len(_jax.devices())}")
+        from svbfm_tpu.parallel.mesh import make_mesh2d
+        tp_mesh = make_mesh2d(n_feature=fs)
+
     if method == "mcmc":
         if bs_native is not None:
             from svbfm_tpu.learners.mcmc_bs import ALSBSLearner, MCMCBSLearner
@@ -332,14 +354,25 @@ def main(argv: Optional[list[str]] = None) -> int:
             learner = cls(cfg, tr_ds, te_ds, rels_l, trj, tej, meta, d_main,
                           bins=bins, w_lambda_init=w_lambda,
                           v_lambda_init=v_lambda)
+        elif tp_mesh is not None:
+            from svbfm_tpu.parallel.tp_mcmc import TPALSLearner, TPMCMCLearner
+            cls = TPALSLearner if als else TPMCMCLearner
+            learner = cls(cfg, tr_ds, te_ds, meta, mesh=tp_mesh, bins=bins,
+                          write_files=True, w_lambda_init=w_lambda,
+                          v_lambda_init=v_lambda)
         else:
             from svbfm_tpu.learners.mcmc import ALSLearner, MCMCLearner
             cls = ALSLearner if als else MCMCLearner
             learner = cls(cfg, tr_ds, te_ds, meta, bins=bins,
                           w_lambda_init=w_lambda, v_lambda_init=v_lambda)
     elif method == "vb":
-        from svbfm_tpu.learners.vb import VBLearner
-        learner = VBLearner(cfg, tr_ds, te_ds, meta, bins=bins)
+        if tp_mesh is not None:
+            from svbfm_tpu.parallel.tp_vb import TPVBLearner
+            learner = TPVBLearner(cfg, tr_ds, te_ds, meta, mesh=tp_mesh,
+                                  bins=bins, write_files=True)
+        else:
+            from svbfm_tpu.learners.vb import VBLearner
+            learner = VBLearner(cfg, tr_ds, te_ds, meta, bins=bins)
     elif method == "vb_online":
         from svbfm_tpu.learners.vb_online import OVBLearner
         if defer_train:

@@ -607,26 +607,51 @@ class TPVBLearner:
                          self.test_row.vals)
         return np.asarray(s)[: self.test_n]
 
+    def _place(self, state: TPVBState) -> TPVBState:
+        """device_put a (possibly host/numpy) state with step shardings."""
+        shardings = jax.tree.map(lambda s: NamedSharding(self.mesh, s),
+                                 _state_specs())
+        return jax.device_put(state, shardings)
+
     def run(self, state: Optional[TPVBState] = None,
-            num_iter: Optional[int] = None, verbose: bool = True):
+            num_iter: Optional[int] = None, verbose: bool = True,
+            ckpt=None, ckpt_every: int = 10):
         cfg = self.cfg
         if state is None:
             state = self.init_state()
         num_iter = num_iter if num_iter is not None else cfg.num_iter
+        it = 0
+        if ckpt is not None:
+            restored = ckpt.restore_latest(state)
+            if restored is not None:
+                state, it, _meta = restored
+                state = self._place(state)
         rmse_file = TrajectoryFile("test_rmse", cfg, self.method,
-                                   self.out_dir, self.write_files)
+                                   self.out_dir, self.write_files and it == 0)
         fe_file = TrajectoryFile("free_energy", cfg, self.method,
-                                 self.out_dir, self.write_files)
+                                 self.out_dir, self.write_files and it == 0)
         history = []
-        for it in range(num_iter):
+        last_saved = it
+        import time as _time
+        while it < num_iter:
+            t0 = _time.perf_counter()
             state, metrics = self._step(state, self.train_row,
                                         self.plan_data, self.test_row)
-            rec = {"iter": it,
-                   "free_energy": float(np.asarray(metrics["free_energy"])),
-                   "rmse": float(np.asarray(metrics["rmse"]))}
+            metrics = jax.device_get(metrics)
+            rec = {"iter": it, "time_learn": _time.perf_counter() - t0,
+                   "free_energy": float(metrics["free_energy"]),
+                   "rmse": float(metrics["rmse"])}
             fe_file.append(-rec["free_energy"])
             rmse_file.append(rec["rmse"])
             if verbose:
                 print(f"#Iter={it:3d}\tTest={rec['rmse']:.6g}")
+            from svbfm_tpu.utils.rlog_schema import stream_row
+            stream_row(self, rec, state=state)
             history.append(rec)
+            it += 1
+            if ckpt is not None and (it - last_saved >= ckpt_every
+                                     or it >= num_iter):
+                ckpt.save(jax.tree.map(np.asarray, state), it,
+                          {"method": self.method})
+                last_saved = it
         return state, history

@@ -206,3 +206,26 @@ def test_cli_verbosity_debug(data_files, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "num_attributes=" not in out and "#attr=" not in out
+
+
+@pytest.mark.parametrize("method", ["vb", "mcmc", "als"])
+def test_cli_feature_shards(data_files, tmp_path, method):
+    """-feature_shards routes vb/mcmc/als to the tensor-parallel learners
+    over a (data, feature) mesh and still writes predictions."""
+    d, trf, tef, gf = data_files
+    out = str(tmp_path / "pred.txt")
+    rc = _run_cli(["-task", "r", "-train", trf, "-test", tef,
+                   "-meta", gf, "-dim", "1,1,4", "-iter", "3",
+                   "-method", method, "-feature_shards", "4",
+                   "-seed", "5", "-out", out], tmp_path)
+    assert rc == 0
+    preds = np.loadtxt(out)
+    assert preds.shape[0] > 0 and np.isfinite(preds).all()
+
+
+def test_cli_feature_shards_rejects_unsupported(data_files, tmp_path):
+    d, trf, tef, gf = data_files
+    with pytest.raises(SystemExit):
+        _run_cli(["-task", "r", "-train", trf, "-test", tef,
+                  "-dim", "1,1,4", "-iter", "2", "-method", "sgd",
+                  "-feature_shards", "4"], tmp_path)

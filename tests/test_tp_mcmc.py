@@ -97,3 +97,57 @@ def test_tp_mcmc_classification():
                       mesh=make_mesh2d(n_data=2, n_feature=4))
     _, h = l.run(num_iter=10, verbose=False)
     assert h[-1]["accuracy"] > 0.6
+
+
+def test_tp_vb_checkpoint_resume(tmp_path):
+    """TPVBLearner checkpoints feature-sharded state and resumes with only
+    the remaining iterations (CLI -checkpoint -feature_shards path)."""
+    import os
+    from svbfm_tpu.parallel.tp_vb import TPVBLearner
+    from svbfm_tpu.utils.checkpoint import CheckpointManager
+    cfg, tr_ds, te_ds, meta, D = _setup(seed=21)
+
+    def learner():
+        return TPVBLearner(cfg, tr_ds, te_ds, meta,
+                           mesh=make_mesh2d(n_data=2, n_feature=4))
+
+    s_full, h_full = learner().run(num_iter=6, verbose=False)
+    ck = str(tmp_path / "ck")
+    os.makedirs(ck, exist_ok=True)
+    mgr = CheckpointManager(ck)
+    learner().run(num_iter=3, verbose=False, ckpt=mgr, ckpt_every=3)
+    assert any(f.endswith(".npz") for f in os.listdir(ck)), \
+        "first run wrote no checkpoint"
+    s_res, h_res = learner().run(num_iter=6, verbose=False, ckpt=mgr,
+                                 ckpt_every=100)
+    assert len(h_res) == 3 and h_res[0]["iter"] == 3
+    np.testing.assert_allclose(h_res[-1]["rmse"], h_full[-1]["rmse"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_res.mu_v)[:, :D],
+                               np.asarray(s_full.mu_v)[:, :D],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_tp_mcmc_checkpoint_resume(tmp_path):
+    """TPMCMCLearner inherits bit-matching checkpoint/resume (incl. the
+    posterior-mean accumulators) from MCMCLearner."""
+    import os
+    from svbfm_tpu.utils.checkpoint import CheckpointManager
+    cfg, tr_ds, te_ds, meta, D = _setup(seed=23)
+
+    def learner():
+        return TPMCMCLearner(cfg, tr_ds, te_ds, meta,
+                             mesh=make_mesh2d(n_data=2, n_feature=4))
+
+    s_full, h_full = learner().run(num_iter=6, verbose=False, chunk=3)
+    ck = str(tmp_path / "ck")
+    os.makedirs(ck, exist_ok=True)
+    mgr = CheckpointManager(ck)
+    learner().run(num_iter=3, verbose=False, chunk=3, ckpt=mgr, ckpt_every=3)
+    assert any(f.endswith(".npz") for f in os.listdir(ck)), \
+        "first run wrote no checkpoint"
+    s_res, h_res = learner().run(num_iter=6, verbose=False, chunk=3,
+                                 ckpt=mgr, ckpt_every=100)
+    assert len(h_res) == 3 and h_res[0]["iter"] == 3
+    np.testing.assert_allclose(h_res[-1]["rmse"], h_full[-1]["rmse"],
+                               rtol=1e-5)
