@@ -83,5 +83,39 @@ def main() -> None:
     }))
 
 
+def _wait_for_device(attempts: int = 25, probe_timeout: int = 150,
+                     sleep_s: int = 45) -> bool:
+    """The tunneled TPU backend HANGS (not raises) while the worker is
+    wedged (e.g. right after a crashed attempt).  Probe it in a subprocess
+    with a hard timeout and retry with backoff so a transient wedge at
+    bench time doesn't hang the whole benchmark run forever."""
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jnp.ones((8, 128)).sum()))")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_timeout,
+                               stdout=subprocess.DEVNULL,
+                               stderr=subprocess.DEVNULL)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# device probe {i + 1}/{attempts} failed; retrying",
+              flush=True)
+        time.sleep(sleep_s)
+    return False
+
+
 if __name__ == "__main__":
+    if not _wait_for_device():
+        print(json.dumps({
+            "metric": "vbfm_ml1m_k20_train_throughput", "value": 0,
+            "unit": "examples/s", "vs_baseline": 0,
+            "error": "device unavailable (tunnel wedged; probe timed out)",
+        }))
+        raise SystemExit(1)
     main()
