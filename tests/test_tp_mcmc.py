@@ -151,3 +151,18 @@ def test_tp_mcmc_checkpoint_resume(tmp_path):
     assert len(h_res) == 3 and h_res[0]["iter"] == 3
     np.testing.assert_allclose(h_res[-1]["rmse"], h_full[-1]["rmse"],
                                rtol=1e-5)
+
+
+def test_tp_edge_configs():
+    """dim '1,1,0' (K=0) and '0,0,K' (no bias/linear) run feature-sharded."""
+    import dataclasses
+    cfg, tr_ds, te_ds, meta, D = _setup(seed=31, n=600)
+    m = make_mesh2d(n_data=2, n_feature=4)
+    l = TPMCMCLearner(dataclasses.replace(cfg, num_factor=0),
+                      tr_ds, te_ds, meta, mesh=m)
+    _, h = l.run(num_iter=3, verbose=False)
+    assert np.isfinite(h[-1]["rmse"])
+    l2 = TPALSLearner(dataclasses.replace(cfg, k0=False, k1=False),
+                      tr_ds, te_ds, meta, mesh=m)
+    _, h2 = l2.run(num_iter=3, verbose=False)
+    assert np.isfinite(h2[-1]["rmse"])
