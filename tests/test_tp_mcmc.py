@@ -166,3 +166,35 @@ def test_tp_edge_configs():
                       tr_ds, te_ds, meta, mesh=m)
     _, h2 = l2.run(num_iter=3, verbose=False)
     assert np.isfinite(h2[-1]["rmse"])
+
+
+def test_tp_multilevel_deterministic_matches_replicated():
+    """do_multilevel=True + do_sample=False (deterministic hyperprior
+    updates + ALS-style conditional means) pins the TP group-statistic
+    algebra (segment sums psum'd over FEATURE) against the replicated
+    learner.  ONE full draw step is compared tightly: multi-iteration
+    trajectories are chaotic under the multilevel feedback on tiny data,
+    so step-level parity is the meaningful deterministic check."""
+    import dataclasses
+    cfg, tr_ds, te_ds, meta, D = _setup(seed=41)
+    cfg = dataclasses.replace(cfg, do_sample=False, do_multilevel=True)
+    l_rep = MCMCLearner(cfg, tr_ds, te_ds, meta, mesh=make_mesh(2),
+                        write_files=False)
+    s_rep, _ = l_rep.run(num_iter=1, verbose=False)
+    l_tp = TPMCMCLearner(cfg, tr_ds, te_ds, meta,
+                         mesh=make_mesh2d(n_data=2, n_feature=4))
+    s_tp, _ = l_tp.run(num_iter=1, verbose=False)
+    np.testing.assert_allclose(np.asarray(s_tp.w_mu), np.asarray(s_rep.w_mu),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s_tp.w_lambda),
+                               np.asarray(s_rep.w_lambda), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_tp.v_mu), np.asarray(s_rep.v_mu),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s_tp.v_lambda),
+                               np.asarray(s_rep.v_lambda), rtol=1e-5)
+    np.testing.assert_allclose(float(s_tp.alpha), float(s_rep.alpha),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_tp.v)[:, :D],
+                               np.asarray(s_rep.v), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_tp.w)[:D], np.asarray(s_rep.w),
+                               rtol=1e-4, atol=1e-6)
