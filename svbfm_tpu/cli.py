@@ -417,7 +417,9 @@ def main(argv: Optional[list[str]] = None) -> int:
         if v0 is None and isinstance(init_state, tuple):
             v0 = init_state[2]
         if v0 is not None:
-            np.savetxt("v_file.txt", np.asarray(v0), fmt="%g")
+            # feature-sharded learners pad the feature dim; the dump keeps
+            # the libFM-parity [K, D] shape (fm_model.h:92-101)
+            np.savetxt("v_file.txt", np.asarray(v0)[..., :D], fmt="%g")
     except Exception:
         pass
 

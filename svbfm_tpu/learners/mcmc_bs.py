@@ -298,16 +298,19 @@ def bs_scores(w0, w, v, ids, vals, rels, rstats, joins, k0=True, k1=True,
 # oracle tests/oracle.py:BSBlockedALSOracle pins this order end to end.
 
 def _bs_rel_block_sweep(vblk, e, q, key, rd, rs: RelStatic, b0: int,
-                        qB_full, mu_dk, lam_dk, alpha, cfg: FMConfig, F: int):
+                        qB_blk, gB, mu_dk, lam_dk, alpha, cfg: FMConfig,
+                        F: int):
     """Sweep ONE relation's attributes for factors [b0, b0+F) with exact
     sequential conditionals (draw_v_rel, fm_learn_mcmc.h:842-899).
 
-    vblk: [F, D_all] the block's factor rows; q: [F, N] total q caches.
+    vblk: [F, D_all] the block's factor rows; q: [F, N] total q caches;
+    qB_blk: [F, R] this relation's block qB; gB: [F, N] its pre-gathered
+    qB[join] (still valid here — only this relation's own sweep changes its
+    qB, so the gather from _bs_v_blocked is reused instead of repeated).
     Returns (vblk, e, q, key)."""
     R, Dr, off = rs.num_rows, rs.num_attrs, rs.attr_offset
     dtype = e.dtype
-    qB_blk = jax.lax.dynamic_slice_in_dim(qB_full, b0, F, axis=0)  # [F, R]
-    qO = q - take_cols(qB_blk, rd.join_tr)  # [F, N] — sweep-invariant
+    qO = q - gB  # [F, N] — sweep-invariant
     iu0, iu1 = np.triu_indices(F)
     # one join pass: e, e*qO_f, qO_f, and the upper triangle of qO_f*qO_g
     ch = jnp.concatenate(
@@ -408,35 +411,46 @@ def _bs_v_blocked(e, v, v_mu, v_lambda, alpha, plan, row, rels, rstats,
                   cfg: FMConfig, qB_pre, F: int, key):
     """Factor-blocked BS v sweep (see the order/correction notes above)."""
     from svbfm_tpu.learners.mcmc import _maybe_sample, _v_block_pass
-    from svbfm_tpu.ops.segment import take_rows as _take_rows
 
     dtype = v.dtype
     K, D_all = v.shape
     n_loc = e.shape[0]
-    mu_dk = _take_rows(v_mu, plan.attr_group)  # [D_all, K]
-    lam_dk = _take_rows(v_lambda, plan.attr_group)
+    mu_dk = take_rows(v_mu, plan.attr_group)  # [D_all, K]
+    lam_dk = take_rows(v_lambda, plan.attr_group)
     has_main = any(len(bb) for bb in plan.blocks)
+    # main attrs occupy [0, d_main); relations are appended after them
+    d_main = min((rs.attr_offset for rs in rstats), default=D_all)
     for b0 in range(0, K, F):
+        # ONE qB[join] gather per relation per block, reused by the
+        # relation sweep below (a relation's qB only changes in its own
+        # sweep, so the gathered [F, N] view stays valid until then)
+        qB_blks, gBs = [], []
         q = jnp.zeros((F, n_loc), dtype)
         for rd, qB in zip(rels, qB_pre):
-            q = q + take_cols(
-                jax.lax.dynamic_slice_in_dim(qB, b0, F, axis=0), rd.join_tr)
+            qB_blk = jax.lax.dynamic_slice_in_dim(qB, b0, F, axis=0)
+            gB = take_cols(qB_blk, rd.join_tr)  # [F, N]
+            qB_blks.append(qB_blk)
+            gBs.append(gB)
+            q = q + gB
         v_t = jax.lax.dynamic_slice_in_dim(v, b0, F, axis=0).T  # [D_all, F]
         mu_t = jax.lax.dynamic_slice_in_dim(mu_dk, b0, F, axis=1)
         lam_t = jax.lax.dynamic_slice_in_dim(lam_dk, b0, F, axis=1)
         if has_main:
             e, v_t, q, key = _v_block_pass(e, v_t, mu_t, lam_t, key, plan,
                                            row, cfg, alpha, q_extra=q)
-            # unobserved MAIN columns -> prior (plan.unobserved is padded
-            # False over relation attrs, so they are never touched here)
+        if d_main > 0:
+            # unobserved MAIN columns -> prior, even when the main design
+            # has no observed entries at all (plan.unobserved is padded
+            # False over relation attrs, so they are never touched here);
+            # matches the sequential path's unconditional prior redraw
             key, sub = jax.random.split(key)
             new_un = _maybe_sample(cfg.do_sample, sub, mu_t, 1.0 / lam_t, v_t)
             v_t = jnp.where(plan.unobserved[:, None], new_un, v_t)
         vblk = v_t.T  # [F, D_all]
         for r_i, (rd, rs) in enumerate(zip(rels, rstats)):
             vblk, e, q, key = _bs_rel_block_sweep(
-                vblk, e, q, key, rd, rs, b0, qB_pre[r_i], mu_dk, lam_dk,
-                alpha, cfg, F)
+                vblk, e, q, key, rd, rs, b0, qB_blks[r_i], gBs[r_i],
+                mu_dk, lam_dk, alpha, cfg, F)
         v = jax.lax.dynamic_update_slice_in_dim(v, vblk, b0, axis=0)
     return e, v, key
 
@@ -449,12 +463,21 @@ def _bs_blocked_peak_elems(F: int, n_loc: int, max_R: int) -> int:
     return ch * n_loc * 2 + 4 * F * n_loc + F * F * max_R
 
 
-def _bs_auto_factor_block(K: int, n_loc: int, max_R: int) -> int:
-    from svbfm_tpu.learners.mcmc import MCMC_BLOCK_BUDGET
+def _bs_auto_factor_block(K: int, n_loc: int, max_R: int,
+                          plan=None) -> int:
+    """Largest divisor of K whose blocked-BS temps — and, when the main
+    design has entry blocks (pass ``plan``), the main-block pass's temps —
+    fit MCMC_BLOCK_BUDGET.  1 = factor-sequential scan."""
+    from svbfm_tpu.learners.mcmc import MCMC_BLOCK_BUDGET, _blocked_peak_elems
     for d in range(K, 1, -1):
-        if K % d == 0 and _bs_blocked_peak_elems(d, n_loc, max_R) \
-                <= MCMC_BLOCK_BUDGET:
-            return d
+        if K % d:
+            continue
+        if _bs_blocked_peak_elems(d, n_loc, max_R) > MCMC_BLOCK_BUDGET:
+            continue
+        if plan is not None and _blocked_peak_elems(plan, d, n_loc) \
+                > MCMC_BLOCK_BUDGET:
+            continue
+        return d
     return 1
 
 
@@ -808,22 +831,11 @@ class MCMCBSLearner(MCMCLearner):
             # relation moments pass fit the HBM budget (1 = sequential scan)
             import dataclasses
 
-            from svbfm_tpu.learners.mcmc import (MCMC_BLOCK_BUDGET,
-                                                 _blocked_peak_elems)
             n_loc = self.train_row.ids.shape[0] // n
             max_R = max((s.num_rows for s in stats), default=1)
             has_main = any(len(bb) for bb in self.plan.blocks)
-            fb = 1
-            for d in range(cfg.num_factor, 1, -1):
-                if cfg.num_factor % d:
-                    continue
-                if _bs_blocked_peak_elems(d, n_loc, max_R) > MCMC_BLOCK_BUDGET:
-                    continue
-                if has_main and _blocked_peak_elems(self.plan, d, n_loc) \
-                        > MCMC_BLOCK_BUDGET:
-                    continue
-                fb = d
-                break
+            fb = _bs_auto_factor_block(cfg.num_factor, n_loc, max_R,
+                                       plan=self.plan if has_main else None)
             cfg = dataclasses.replace(cfg, factor_block=fb)
             self.cfg = cfg
         self._extra_args = (self.rels,)

@@ -19,9 +19,10 @@ columns:
 * Hyperprior group statistics are local segment sums psum'd over FEATURE;
   the gamma/normal hyperprior draws then run replicated from the shared key
   chain, so every device holds identical hyperparameters.
-* z-tables for the column draws are generated replicated over the padded
-  global width and sliced per shard — draw values are independent of the
-  (data, feature) mesh factorization, so trajectories are invariant to it.
+* z-tables for the column draws are generated shard-locally in W-aligned
+  chunks keyed by the GLOBAL column index (``_z_table_local``) — draw
+  values are independent of the (data, feature) mesh factorization (so
+  trajectories are invariant to it) without replicating an O(D) table.
 
 Semantics: identical draw algebra to :mod:`svbfm_tpu.learners.mcmc`
 (conditionals ``fm_learn_mcmc.h:628-899``, hyperpriors ``:931-1089``,
@@ -134,8 +135,28 @@ def tp_draw_v_hyperpriors(v_l, v_mu, v_lambda, ag_l, napg, cfg: FMConfig, G,
 # Sharded sweeps
 # ---------------------------------------------------------------------------
 
+_Z_CHUNK = 8192
+
+
+def _z_table_local(kb, F: int, D_loc: int, lo, dtype):
+    """This shard's [F, D_loc] slice of the conceptual global z-table
+    WITHOUT materializing it: global columns are generated in W-aligned
+    chunks keyed by fold_in(kb, chunk_index), so z[f, d] depends only on
+    (kb, f, d).  Draws therefore stay invariant to the (data, feature)
+    mesh factorization while per-device memory is O(F * (D_loc + 2W))
+    instead of O(F * D_pad) — the replicated-table version would
+    re-materialize the very footprint -feature_shards exists to shard."""
+    W = _Z_CHUNK
+    nc = -(-D_loc // W) + 1
+    c0 = lo // W
+    chunks = jax.vmap(
+        lambda c: jax.random.normal(jax.random.fold_in(kb, c), (F, W),
+                                    dtype))(c0 + jnp.arange(nc))
+    z = jnp.moveaxis(chunks, 0, 1).reshape(F, nc * W)
+    return jax.lax.dynamic_slice(z, (0, lo - c0 * W), (F, D_loc))
+
 def tp_w_sweep(e, w_l, w_mu, w_lambda, alpha, plan: TPPlanData, row: RowData,
-               cfg: FMConfig, next_key, D_loc: int, Z_pad: int, ag_l, unob_l):
+               cfg: FMConfig, next_key, D_loc: int, ag_l, unob_l):
     """Binned w sweep + unobserved prior draws (fm_learn_mcmc.h:671-718)
     with w feature-sharded.  Each shard draws its own columns; the per-bin
     e patch is a local masked row-layout pass psum'd once over FEATURE."""
@@ -144,14 +165,9 @@ def tp_w_sweep(e, w_l, w_mu, w_lambda, alpha, plan: TPPlanData, row: RowData,
     ids, x_r = row.ids, row.vals
     zw_l = None
     if cfg.do_sample:
-        # One replicated z-table per sweep, sliced per shard: every column
-        # is drawn exactly once (its bucket, or the unobserved prior).
-        # Z_pad is mesh-factorization-INDEPENDENT (>= any D_loc*Sf), and
-        # column d's z value is z[d] under every factorization (global
-        # padded index = s*D_loc + i = d), so the sampled trajectory is
-        # invariant to the (data, feature) mesh shape.
-        zw = jax.random.normal(next_key(), (Z_pad,), dtype)
-        zw_l = jax.lax.dynamic_slice(zw, (lo,), (D_loc,))
+        # one z value per column per sweep (its bucket, or the unobserved
+        # prior), generated shard-locally but keyed by GLOBAL column index
+        zw_l = _z_table_local(next_key(), 1, D_loc, lo, dtype)[0]
     for bin_blocks in plan.blocks:
         dw_l = jnp.zeros((D_loc,), dtype)
         for blk in bin_blocks:
@@ -180,7 +196,7 @@ def tp_w_sweep(e, w_l, w_mu, w_lambda, alpha, plan: TPPlanData, row: RowData,
             lid = ids[:, p] - lo
             inr = ((lid >= 0) & (lid < D_loc)).astype(dtype)
             de = de + (x_r[:, p] * inr) * jnp.take(
-                dw_l, jnp.clip(lid, 0, D_loc - 1)) * inr
+                dw_l, jnp.clip(lid, 0, D_loc - 1))
         e = e - _psum_f(de)
     # unobserved columns: posterior == prior N(mu_g, 1/lambda_g)
     mu_d = take_rows(w_mu, ag_l, mode="clip")
@@ -196,7 +212,7 @@ def tp_w_sweep(e, w_l, w_mu, w_lambda, alpha, plan: TPPlanData, row: RowData,
 
 def tp_v_block_pass(e, v_t, mu_t, lam_t, key, plan: TPPlanData, row: RowData,
                     cfg: FMConfig, alpha, exact_seq: bool, D_loc: int,
-                    Z_pad: int, unob_l):
+                    unob_l):
     """One factor-block bin sweep with v feature-sharded.  The correction
     algebra is learners.mcmc._v_block_pass's (closed-form cross-factor
     she updates via the per-column M matrix); here the [F, N] q cache is
@@ -210,8 +226,7 @@ def tp_v_block_pass(e, v_t, mu_t, lam_t, key, plan: TPPlanData, row: RowData,
     n = ids.shape[0]
     if cfg.do_sample:
         key, kb = jax.random.split(key)
-        z = jax.random.normal(kb, (F, Z_pad), dtype)  # see tp_w_sweep note
-        z_l = jax.lax.dynamic_slice(z, (0, lo), (F, D_loc))
+        z_l = _z_table_local(kb, F, D_loc, lo, dtype)
     # q [F, N]: local partials + ONE feature psum (total q everywhere)
     q = jnp.zeros((F, n), dtype)
     v_tt = v_t.T  # [F, D_loc]
@@ -309,7 +324,7 @@ def tp_v_block_pass(e, v_t, mu_t, lam_t, key, plan: TPPlanData, row: RowData,
 
 
 def tp_mcmc_draw_all(state: MCMCState, row: RowData, plan: TPPlanData,
-                     cfg: FMConfig, num_cases: float, D_loc: int, Z_pad: int):
+                     cfg: FMConfig, num_cases: float, D_loc: int):
     """One Gibbs/ALS sweep + full re-predict with feature-sharded tables.
     Runs inside shard_map over the (data, feature) mesh.  Draw order matches
     learners.mcmc.mcmc_draw_all (fm_learn_mcmc.h draw_all)."""
@@ -341,7 +356,7 @@ def tp_mcmc_draw_all(state: MCMCState, row: RowData, plan: TPPlanData,
         w_mu, w_lambda = tp_draw_w_hyperpriors(
             w_l, w_mu, w_lambda, ag_l, napg, cfg, G, next_key, dtype)
         e, w_l = tp_w_sweep(e, w_l, w_mu, w_lambda, alpha, plan, row, cfg,
-                            next_key, D_loc, Z_pad, ag_l, unob_l)
+                            next_key, D_loc, ag_l, unob_l)
 
     if K > 0:
         v_mu, v_lambda = tp_draw_v_hyperpriors(
@@ -359,7 +374,7 @@ def tp_mcmc_draw_all(state: MCMCState, row: RowData, plan: TPPlanData,
             lam_t = jax.lax.dynamic_slice_in_dim(lam_dk_l, b0, F_eff, axis=1)
             e, v_t, key = tp_v_block_pass(
                 e, v_t, mu_t, lam_t, key, plan, row, cfg, alpha, exact,
-                D_loc, Z_pad, unob_l)
+                D_loc, unob_l)
             v_l = jax.lax.dynamic_update_slice_in_dim(v_l, v_t.T, b0, axis=0)
 
     # full re-predict (fm_learn_mcmc_simultaneous.h:134-176)
@@ -404,9 +419,6 @@ class TPMCMCLearner(MCMCLearner):
         self.plan_data, self.D_loc = _build_tp_plan(self.mesh, self.plan,
                                                     meta, D)
         self.D_pad = self.D_loc * Sf
-        # z-table width: independent of the mesh factorization (covers
-        # D_pad for any feature-shard count Sf <= 8192)
-        self.Z_pad = (D // 8192 + 2) * 8192
         self.train_row, self.train_n = self._put_row(train, Sd)
         self.test_row, self.test_n = self._put_row(test, Sd)
         if cfg.factor_block == 0 and cfg.num_factor > 1:
@@ -455,11 +467,10 @@ class TPMCMCLearner(MCMCLearner):
     def _build_jits(self):
         cfg = self.cfg
         num_cases = float(self.train_n)
-        D_loc, Z_pad = self.D_loc, self.Z_pad
+        D_loc = self.D_loc
 
         def step_fn(state, row, plan):
-            return tp_mcmc_draw_all(state, row, plan, cfg, num_cases,
-                                    D_loc, Z_pad)
+            return tp_mcmc_draw_all(state, row, plan, cfg, num_cases, D_loc)
 
         self._step = jax.jit(jax.shard_map(
             step_fn, mesh=self.mesh,
@@ -480,7 +491,7 @@ class TPMCMCLearner(MCMCLearner):
 
     def _draw_inprog(self, state, row, plan, *extras):
         return tp_mcmc_draw_all(state, row, plan, self.cfg,
-                                float(self.train_n), self.D_loc, self.Z_pad)
+                                float(self.train_n), self.D_loc)
 
     def _test_scores_inprog(self, state, trow, *extras):
         cfg = self.cfg
