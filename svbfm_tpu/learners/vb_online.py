@@ -716,12 +716,22 @@ class OVBLearner:
         eval_fn = self._build_eval()
         history = []
         import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+        prefetch = ThreadPoolExecutor(1)  # one in-flight chunk
         for it in range(it0, num_iter):
             t0 = _time.perf_counter()
             order = self.rng.permutation(self.num_chunks)
             fes = []
-            for ci in order:
-                row, blocks = self._chunk_device_data(int(ci))
+            # double buffering: while the device runs chunk i's fused sweep
+            # (step_fn dispatch is async), the prefetch thread reads chunk
+            # i+1 from disk and starts its host->device transfer — the
+            # dominant cost of the 150M-row runs (see PARITY_RUNS.md)
+            fut = prefetch.submit(self._chunk_device_data, int(order[0]))
+            for idx, ci in enumerate(order):
+                row, blocks = fut.result()
+                if idx + 1 < len(order):
+                    fut = prefetch.submit(self._chunk_device_data,
+                                          int(order[idx + 1]))
                 state, fe = step_fn(state, row, blocks,
                                     jnp.asarray(float(self.chunk_sizes[ci]),
                                                 jnp.float32))
@@ -751,6 +761,7 @@ class OVBLearner:
                                      or it + 1 >= num_iter):
                 ckpt.save(jax.tree.map(np.asarray, state), it + 1,
                           {"method": self.method})
+        prefetch.shutdown(wait=False)
         return state, history
 
     def _block_specs(self, stacked=True):
