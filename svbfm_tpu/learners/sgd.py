@@ -609,9 +609,33 @@ class SGDOnlineLearner(SGDLearner):
 
     def _run_epoch(self, state, it: int):
         cfg = self.cfg
-        # one compiled epoch fn per chunk shape (chunks padded to equal size)
-        for chunk in self._chunks():
-            row, _n = build_row_data(self.mesh, chunk)
+        # one compiled epoch fn per chunk shape (chunks padded to equal
+        # size).  A producer thread reads + ships the next chunk while the
+        # device runs the current one (queue depth 1 bounds memory at two
+        # resident chunks) — disk + transfer overlap compute, the dominant
+        # cost of out-of-core epochs.
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=1)
+
+        def producer():
+            try:
+                for chunk in self._chunks():
+                    row, _n = build_row_data(self.mesh, chunk)
+                    q.put(("ok", row))
+            except BaseException as exc:  # surfaced in the consumer
+                q.put(("err", exc))
+                return
+            q.put(("done", None))
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            kind, row = q.get()
+            if kind == "done":
+                break
+            if kind == "err":
+                raise row
             nb = max(1, row.ids.shape[0] // max(1, (cfg.batch_size or 1024)))
             state = self._chunk_epoch(nb, row.ids.shape[1])(state, row)
         return state
