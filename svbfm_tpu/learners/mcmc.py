@@ -84,18 +84,58 @@ def _gather(a, idx):
     return take_rows(a, idx)
 
 
-def _maybe_sample(do_sample: bool, key, mean, sigma_sqr, old, zero_on_bad_sigma=True):
+#: counter families (fm_learn_mcmc_simultaneous.h:100-128 nan_cntr_*/
+#: inf_cntr_*) — fixed so the nans pytree has a static structure
+NAN_FAMILIES = ("alpha", "w0", "w", "w_mu", "w_lambda",
+                "v", "v_mu", "v_lambda")
+
+
+def zero_nan_counters():
+    """All-zero counter dict with the full fixed key set."""
+    z = jnp.zeros((), jnp.int32)
+    out = {}
+    for fam in NAN_FAMILIES:
+        out[f"nan_{fam}"] = z
+        out[f"inf_{fam}"] = z
+    return out
+
+
+def nan_counter_specs():
+    """PartitionSpecs for the counters (replicated: every count derives
+    from psum'd statistics, so all shards agree)."""
+    return {k: P() for fam in NAN_FAMILIES
+            for k in (f"nan_{fam}", f"inf_{fam}")}
+
+
+def _count_bad(counters, name, *cands):
+    """Accumulate nan/inf CANDIDATE counts per parameter family (the
+    reference's nan_cntr_*/inf_cntr_* at fm_learn_mcmc_simultaneous.h:100,
+    printed only when nonzero).  ``counters`` is a trace-time dict of
+    jnp.int32 scalars; None disables counting (the TP draw paths)."""
+    if counters is None:
+        return
+    for cand in cands:
+        counters[f"nan_{name}"] = counters.get(f"nan_{name}", 0) \
+            + jnp.sum(jnp.isnan(cand), dtype=jnp.int32)
+        counters[f"inf_{name}"] = counters.get(f"inf_{name}", 0) \
+            + jnp.sum(jnp.isinf(cand), dtype=jnp.int32)
+
+
+def _maybe_sample(do_sample: bool, key, mean, sigma_sqr, old, zero_on_bad_sigma=True,
+                  counters=None, count_as=None):
     """Reference guard pattern: bad sigma^2 -> 0; bad draw -> keep old."""
     val = mean
     if do_sample:
         val = mean + jnp.sqrt(sigma_sqr) * jax.random.normal(key, mean.shape, mean.dtype)
+    if count_as is not None:
+        _count_bad(counters, count_as, val)
     if zero_on_bad_sigma:
         val = jnp.where(jnp.isfinite(sigma_sqr), val, jnp.zeros_like(val))
     return keep_finite(val, old)
 
 
 def _v_blocked_sweep(e, v, v_mu, v_lambda, alpha, plan, row, cfg, F, key,
-                     exact_seq=True):
+                     exact_seq=True, counters=None):
     """Factor-blocked v sweep shared by ALS (do_sample=False) and Gibbs
     sampling (do_sample=True).
 
@@ -137,7 +177,8 @@ def _v_blocked_sweep(e, v, v_mu, v_lambda, alpha, plan, row, cfg, F, key,
 
     def blk_step(e, v_t, mu_t, lam_t, key):
         e, v_t, _q, key = _v_block_pass(e, v_t, mu_t, lam_t, key, plan, row,
-                                        cfg, alpha, exact_seq=exact_seq)
+                                        cfg, alpha, exact_seq=exact_seq,
+                                        counters=counters)
         return e, v_t, key
 
     for b in range(nb):
@@ -149,13 +190,16 @@ def _v_blocked_sweep(e, v, v_mu, v_lambda, alpha, plan, row, cfg, F, key,
         # unobserved columns: posterior == prior N(mu, 1/lambda)
         key, sub = jax.random.split(key)
         new_un = _maybe_sample(cfg.do_sample, sub, mu_t, 1.0 / lam_t, v_t)
+        if counters is not None:
+            _count_bad(counters, "v",
+                       jnp.where(plan.unobserved[:, None], new_un, 0.0))
         v_new = jnp.where(plan.unobserved[:, None], new_un, v_t)
         v = v.at[fs].set(v_new.T)
     return e, v, key
 
 
 def _v_block_pass(e, v_t, mu_t, lam_t, key, plan, row, cfg, alpha,
-                  exact_seq=True, q_extra=None):
+                  exact_seq=True, q_extra=None, counters=None):
     """One factor-block bin sweep over the MAIN design (the body of
     :func:`_v_blocked_sweep`; see its docstring for the correction algebra).
 
@@ -223,6 +267,7 @@ def _v_block_pass(e, v_t, mu_t, lam_t, key, plan, row, cfg, alpha,
                     s2 = 1.0 / (lam_g[:, f] + alpha * sh2)
                     mean = -s2 * (alpha * v_mean - mu_g[:, f] * lam_g[:, f])
                     val = mean + jnp.sqrt(s2) * zmat[f] if cfg.do_sample else mean
+                    _count_bad(counters, "v", val)
                     val = jnp.where(jnp.isfinite(s2), val, 0.0)
                     new_v = keep_finite(val, v_cf)
                     # closed-form effect of this draw on later factors' h·e
@@ -238,6 +283,7 @@ def _v_block_pass(e, v_t, mu_t, lam_t, key, plan, row, cfg, alpha,
                 mean = -s2 * (alpha * v_mean - mu_g * lam_g)
                 if cfg.do_sample:
                     mean = mean + jnp.sqrt(s2) * zmat.T
+                _count_bad(counters, "v", mean)
                 mean = jnp.where(jnp.isfinite(s2), mean, 0.0)
                 new_v_cf = keep_finite(mean, v_c)
             v_t = v_t.at[blk.cols].set(new_v_cf)
@@ -292,28 +338,31 @@ MU_0 = 0.0
 W0_MEAN_0 = 0.0
 
 
-def draw_alpha(e, valid, alpha_old, cfg: FMConfig, N, next_key, dtype):
+def draw_alpha(e, valid, alpha_old, cfg: FMConfig, N, next_key, dtype,
+               counters=None):
     """fm_learn_mcmc.h:901-929."""
     if not cfg.do_multilevel:
         return jnp.asarray(ALPHA_0, dtype)
     sse = _psum(jnp.sum(e * e * valid))
     draw = jax.random.gamma(next_key(), (ALPHA_0 + N) / 2.0,
                             dtype=dtype) / ((GAMMA_0 + sse) / 2.0)
+    _count_bad(counters, "alpha", draw)
     return keep_finite(draw, alpha_old)
 
 
-def draw_w0(e, valid, w0, cfg: FMConfig, alpha, N, next_key):
+def draw_w0(e, valid, w0, cfg: FMConfig, alpha, N, next_key, counters=None):
     """fm_learn_mcmc.h:628-668.  Returns (e, w0)."""
     acc = _psum(jnp.sum((e - w0) * valid))
     s2 = 1.0 / (cfg.reg0 + alpha * N)
     mean = -s2 * (alpha * acc - W0_MEAN_0 * cfg.reg0)
     new_w0 = _maybe_sample(cfg.do_sample, next_key(), mean, s2, w0,
-                           zero_on_bad_sigma=False)
+                           zero_on_bad_sigma=False, counters=counters,
+                           count_as="w0")
     return e - (w0 - new_w0), new_w0
 
 
 def draw_w_hyperpriors(w, w_mu, w_lambda, attr_group, napg, cfg: FMConfig,
-                       G, next_key, dtype):
+                       G, next_key, dtype, counters=None):
     """draw_w_lambda then draw_w_mu (fm_learn_mcmc.h:425-426, 931-1007)."""
     if not cfg.do_multilevel:
         return jnp.full((G,), MU_0, dtype), w_lambda
@@ -326,17 +375,19 @@ def draw_w_hyperpriors(w, w_mu, w_lambda, attr_group, napg, cfg: FMConfig,
                                 dtype=dtype) / (lam_gamma / 2.0)
     else:
         draw = lam_alpha / lam_gamma
+    _count_bad(counters, "w_lambda", draw)
     w_lambda = keep_finite(draw, w_lambda)
     wsum = jax.ops.segment_sum(w, attr_group, num_segments=G)
     mu_mean = (wsum + BETA_0 * MU_0) / (napg + BETA_0)
     mu_s2 = 1.0 / ((napg + BETA_0) * w_lambda)
     w_mu = _maybe_sample(cfg.do_sample, next_key(), mu_mean, mu_s2, w_mu,
-                         zero_on_bad_sigma=False)
+                         zero_on_bad_sigma=False, counters=counters,
+                         count_as="w_mu")
     return w_mu, w_lambda
 
 
 def draw_v_hyperpriors(v, v_mu, v_lambda, attr_group, napg, cfg: FMConfig,
-                       G, K, next_key, dtype):
+                       G, K, next_key, dtype, counters=None):
     """fm_learn_mcmc.h:1011-1089."""
     if not cfg.do_multilevel:
         return jnp.full((G, K), MU_0, dtype), v_lambda
@@ -350,17 +401,19 @@ def draw_v_hyperpriors(v, v_mu, v_lambda, attr_group, napg, cfg: FMConfig,
                                 dtype=dtype) / (lam_gamma / 2.0)
     else:
         draw = lam_alpha / lam_gamma
+    _count_bad(counters, "v_lambda", draw)
     v_lambda = keep_finite(draw, v_lambda)
     vsum = jax.ops.segment_sum(v.T, attr_group, num_segments=G)  # [G, K]
     mu_mean = (vsum + BETA_0 * MU_0) / (napg[:, None] + BETA_0)
     mu_s2 = 1.0 / ((napg[:, None] + BETA_0) * v_lambda)
     v_mu = _maybe_sample(cfg.do_sample, next_key(), mu_mean, mu_s2, v_mu,
-                         zero_on_bad_sigma=False)
+                         zero_on_bad_sigma=False, counters=counters,
+                         count_as="v_mu")
     return v_mu, v_lambda
 
 
 def w_sweep_main(e, w, w_mu, w_lambda, alpha, plan, row, cfg: FMConfig,
-                 next_key):
+                 next_key, counters=None):
     """Binned main-block w sweep + unobserved prior draws
     (fm_learn_mcmc.h:671-718).  Returns (e, w)."""
     dtype = w.dtype
@@ -387,6 +440,7 @@ def w_sweep_main(e, w, w_mu, w_lambda, alpha, plan, row, cfg: FMConfig,
                 val = mean + jnp.sqrt(s2) * _gather(zw_d, blk.cols)
             else:
                 val = mean
+            _count_bad(counters, "w", val)
             val = jnp.where(jnp.isfinite(s2), val, jnp.zeros_like(val))
             new_w = keep_finite(val, w_c)
             w = w.at[blk.cols].set(new_w)
@@ -401,15 +455,17 @@ def w_sweep_main(e, w, w_mu, w_lambda, alpha, plan, row, cfg: FMConfig,
     s2_d = 1.0 / lam_d
     if cfg.do_sample:
         un = mu_d + jnp.sqrt(s2_d) * zw_d  # zw_d unused for observed cols
+        _count_bad(counters, "w", jnp.where(plan.unobserved, un, 0.0))
         un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
     else:
+        _count_bad(counters, "w", jnp.where(plan.unobserved, mu_d, 0.0))
         un = jnp.where(jnp.isfinite(s2_d), mu_d, jnp.zeros_like(mu_d))
     new_un = keep_finite(un, w)
     return e, jnp.where(plan.unobserved, new_un, w)
 
 
 def v_factor_main_bins(e, q, v_f, mu_f, lam_f, alpha, plan, row,
-                       cfg: FMConfig, key):
+                       cfg: FMConfig, key, counters=None):
     """One factor's main-block bin sweep on the TOTAL q cache with exact
     per-bin e/q patches (draw_v, fm_learn_mcmc.h:784-840) + unobserved
     prior draws.  Returns (e, q, v_f, key)."""
@@ -438,6 +494,7 @@ def v_factor_main_bins(e, q, v_f, mu_f, lam_f, alpha, plan, row,
                 val = mean + jnp.sqrt(s2) * _gather(z_d, blk.cols)
             else:
                 val = mean
+            _count_bad(counters, "v", val)
             val = jnp.where(jnp.isfinite(s2), val, jnp.zeros_like(val))
             new_v = keep_finite(val, v_c)
             v_f = v_f.at[blk.cols].set(new_v)
@@ -461,8 +518,10 @@ def v_factor_main_bins(e, q, v_f, mu_f, lam_f, alpha, plan, row,
     s2_d = 1.0 / lam_d
     if cfg.do_sample:
         un = mu_d + jnp.sqrt(s2_d) * z_d
+        _count_bad(counters, "v", jnp.where(plan.unobserved, un, 0.0))
         un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
     else:
+        _count_bad(counters, "v", jnp.where(plan.unobserved, mu_d, 0.0))
         un = jnp.where(jnp.isfinite(s2_d), mu_d, jnp.zeros_like(mu_d))
     v_f = jnp.where(plan.unobserved, keep_finite(un, v_f), v_f)
     return e, q, v_f, key
@@ -471,23 +530,29 @@ def v_factor_main_bins(e, q, v_f, mu_f, lam_f, alpha, plan, row,
 def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
                   num_cases: float):
     """One Gibbs sweep + full re-predict of the train e-cache.  Runs inside
-    shard_map."""
+    shard_map.  Returns ``(new_state, nans)`` where ``nans`` maps
+    ``nan_<family>``/``inf_<family>`` to int32 rejected-candidate counts
+    (the reference's per-iteration nan/inf counters,
+    fm_learn_mcmc_simultaneous.h:100-128)."""
     dtype = state.w.dtype
     G, K = cfg.num_groups, cfg.num_factor
     N = jnp.asarray(num_cases, dtype)
     e = state.e
     key = state.key
+    counters = zero_nan_counters()
 
     def next_key():
         nonlocal key
         key, sub = jax.random.split(key)
         return sub
 
-    alpha = draw_alpha(e, row.valid, state.alpha, cfg, N, next_key, dtype)
+    alpha = draw_alpha(e, row.valid, state.alpha, cfg, N, next_key, dtype,
+                       counters=counters)
 
     w0 = state.w0
     if cfg.k0:
-        e, w0 = draw_w0(e, row.valid, w0, cfg, alpha, N, next_key)
+        e, w0 = draw_w0(e, row.valid, w0, cfg, alpha, N, next_key,
+                        counters=counters)
 
     w, v = state.w, state.v
     w_mu, w_lambda = state.w_mu, state.w_lambda
@@ -496,15 +561,15 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
     if cfg.k1:
         w_mu, w_lambda = draw_w_hyperpriors(
             w, w_mu, w_lambda, plan.attr_group, plan.num_attr_per_group,
-            cfg, G, next_key, dtype)
+            cfg, G, next_key, dtype, counters=counters)
         e, w = w_sweep_main(e, w, w_mu, w_lambda, alpha, plan, row, cfg,
-                            next_key)
+                            next_key, counters=counters)
 
     # --- group hyperpriors for v (fm_learn_mcmc.h:1011-1089) ---
     if K > 0:
         v_mu, v_lambda = draw_v_hyperpriors(
             v, v_mu, v_lambda, plan.attr_group, plan.num_attr_per_group,
-            cfg, G, K, next_key, dtype)
+            cfg, G, K, next_key, dtype, counters=counters)
 
         # --- v sweeps (fm_learn_mcmc.h:510-622, 780-835) ---
         # Factor execution: both Gibbs and ALS default to the factor-blocked
@@ -519,24 +584,33 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
             exact = not (cfg.mcmc_factor_jacobi and not cfg.do_sample)
             e, v, key = _v_blocked_sweep(e, v, v_mu, v_lambda, alpha, plan,
                                          row, cfg, F_eff, key,
-                                         exact_seq=exact)
+                                         exact_seq=exact, counters=counters)
             v_done = True
         else:
             v_done = False
 
         def f_step(carry, xs):
-            e, key = carry
+            # the v counters must ride the scan carry (a dict mutated inside
+            # the scan body would leak its tracers)
+            e, key, vnan, vinf = carry
             v_f, mu_f, lam_f = xs  # [D], [G], [G]
             q = jnp.zeros_like(e)
             for p in range(row.ids.shape[1]):
                 q = q + jnp.take(v_f, row.ids[:, p]) * row.vals[:, p]
+            local: dict = {}
             e, q, v_f, key = v_factor_main_bins(
-                e, q, v_f, mu_f, lam_f, alpha, plan, row, cfg, key)
-            return (e, key), v_f
+                e, q, v_f, mu_f, lam_f, alpha, plan, row, cfg, key,
+                counters=local)
+            vnan = vnan + local.get("nan_v", 0)
+            vinf = vinf + local.get("inf_v", 0)
+            return (e, key, vnan, vinf), v_f
 
         if not v_done:
-            (e, key), v = jax.lax.scan(
-                f_step, (e, key), (v, v_mu.T, v_lambda.T))
+            z32 = jnp.zeros((), jnp.int32)
+            (e, key, vnan, vinf), v = jax.lax.scan(
+                f_step, (e, key, z32, z32), (v, v_mu.T, v_lambda.T))
+            counters["nan_v"] = counters.get("nan_v", 0) + vnan
+            counters["inf_v"] = counters.get("inf_v", 0) + vinf
 
     # --- full re-predict (fm_learn_mcmc_simultaneous.h:134-176): regression
     # restores e := yhat - y immediately; classification leaves e = yhat for
@@ -548,7 +622,8 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
     new_state = MCMCState(w0=w0, w=w, v=v, alpha=alpha, w_mu=w_mu,
                           w_lambda=w_lambda, v_mu=v_mu, v_lambda=v_lambda,
                           e=yhat, key=key)
-    return new_state
+    nans = {k: jnp.asarray(val, jnp.int32) for k, val in counters.items()}
+    return new_state, nans
 
 
 def _state_specs():
@@ -619,6 +694,11 @@ class MCMCLearner:
     def _pspec(self):
         return plan_specs_for(self.plan_data)
 
+    def _nanspec(self):
+        """Spec tree for the draw's nan/inf counter dict (second return
+        value of the draw_all functions); {} for variants that don't count."""
+        return nan_counter_specs()
+
     def _build_jits(self):
         cfg = self.cfg
         num_cases = float(self.train_n)
@@ -629,7 +709,7 @@ class MCMCLearner:
         self._step = jax.jit(jax.shard_map(
             step_fn, mesh=self.mesh,
             in_specs=(self._sspec(), self._rspec(), self._pspec()),
-            out_specs=self._sspec(),
+            out_specs=(self._sspec(), self._nanspec()),
         ))
 
         def scores_fn(w0, w, v, ids, vals):
@@ -657,7 +737,7 @@ class MCMCLearner:
         fm_learn_mcmc_simultaneous.h:152-302).  Runs inside shard_map."""
         cfg = self.cfg
         state, psum_all, psum_but5, it = carry
-        state = self._draw_inprog(state, row, plan, *extras)
+        state, nans = self._draw_inprog(state, row, plan, *extras)
         scores = self._test_scores_inprog(state, trow, *extras)
         nt = jnp.asarray(float(self.test_n), scores.dtype)
         itf = it.astype(scores.dtype)
@@ -706,6 +786,7 @@ class MCMCLearner:
                            w_mu=state.w_mu, w_lambda=state.w_lambda,
                            v_mu=state.v_mu, v_lambda=state.v_lambda)
             state = self._resample_class_targets_jax(state, row)
+        metrics.update(nans)
         return (state, psum_all, psum_but5, it + 1), metrics
 
     def _resample_class_targets_jax(self, state, row):
@@ -864,6 +945,16 @@ class MCMCLearner:
                                   f"\tMAP@{map_eval.k}= {rec['map']:.6g}")
                     elif verbose:
                         print(f"#Iter={it:3d}\tTest={rec['accuracy']:.6g}")
+                if verbose:
+                    # reference nan/inf counters, printed only when nonzero
+                    # (fm_learn_mcmc_simultaneous.h:100-128)
+                    bad = {k: int(rec[k]) for k in rec
+                           if (k.startswith("nan_") or k.startswith("inf_"))
+                           and int(rec[k]) != 0}
+                    if bad:
+                        print("\t".join(f"#{k.split('_', 1)[0]}s in "
+                                        f"{k.split('_', 1)[1]}: {v}"
+                                        for k, v in bad.items()))
                 from svbfm_tpu.utils.rlog_schema import stream_row
                 stream_row(self, rec)
                 history.append(rec)

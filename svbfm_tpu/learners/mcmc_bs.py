@@ -299,7 +299,7 @@ def bs_scores(w0, w, v, ids, vals, rels, rstats, joins, k0=True, k1=True,
 
 def _bs_rel_block_sweep(vblk, e, q, key, rd, rs: RelStatic, b0: int,
                         qB_blk, gB, mu_dk, lam_dk, alpha, cfg: FMConfig,
-                        F: int):
+                        F: int, counters=None):
     """Sweep ONE relation's attributes for factors [b0, b0+F) with exact
     sequential conditionals (draw_v_rel, fm_learn_mcmc.h:842-899).
 
@@ -336,7 +336,9 @@ def _bs_rel_block_sweep(vblk, e, q, key, rd, rs: RelStatic, b0: int,
           else jnp.zeros((F, Dr), dtype))
 
     def fstep(carry, xs):
-        we_run, weq_run = carry  # [R], [F, R]
+        # v nan/inf counts ride the carry (trace-safe inside lax.scan)
+        we_run, weq_run, vnan, vinf = carry  # [R], [F, R], [], []
+        local: dict = {}
         fi, vr_f, qB_f, z_f, mu_f, lam_f, wcc_f, wc_f, wc2_f = xs
         weq_f = jnp.take(weq_run, fi, axis=0)  # [R]
         qB_f0 = qB_f
@@ -367,6 +369,8 @@ def _bs_rel_block_sweep(vblk, e, q, key, rd, rs: RelStatic, b0: int,
                     val = mean + jnp.sqrt(s2) * _gather(z_f, blk.cols)
                 else:
                     val = mean
+                from svbfm_tpu.learners.mcmc import _count_bad
+                _count_bad(local, "v", val)
                 val = jnp.where(jnp.isfinite(s2), val, jnp.zeros_like(val))
                 new_v = keep_finite(val, v_c)
                 vr_f = vr_f.at[blk.cols].set(new_v)
@@ -393,12 +397,21 @@ def _bs_rel_block_sweep(vblk, e, q, key, rd, rs: RelStatic, b0: int,
         # unobserved relation attrs -> prior
         s2_d = 1.0 / lam_f
         un = mu_f + jnp.sqrt(s2_d) * z_f if cfg.do_sample else mu_f
+        from svbfm_tpu.learners.mcmc import _count_bad
+        _count_bad(local, "v", jnp.where(rd.unobserved, un, 0.0))
         un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
         vr_f = jnp.where(rd.unobserved, keep_finite(un, vr_f), vr_f)
-        return (we_run, weq_run), (vr_f, dy, dqB)
+        vnan = vnan + local.get("nan_v", 0)
+        vinf = vinf + local.get("inf_v", 0)
+        return (we_run, weq_run, vnan, vinf), (vr_f, dy, dqB)
 
     xs = (jnp.arange(F), vr_blk, qB_blk, zv, mu_r.T, lam_r.T, wcc, wc, wc2)
-    (_, _), (vr_new, dys, dqBs) = jax.lax.scan(fstep, (we0, weq0), xs)
+    z32 = jnp.zeros((), jnp.int32)
+    (_, _, vnan, vinf), (vr_new, dys, dqBs) = jax.lax.scan(
+        fstep, (we0, weq0, z32, z32), xs)
+    if counters is not None:
+        counters["nan_v"] = counters.get("nan_v", 0) + vnan
+        counters["inf_v"] = counters.get("inf_v", 0) + vinf
     vblk = jax.lax.dynamic_update_slice_in_dim(vblk, vr_new, off, axis=1)
     # resync e and q for the whole block in one gather pass
     gg = take_cols(jnp.concatenate([dys, dqBs], axis=0), rd.join_tr)  # [2F,N]
@@ -408,9 +421,10 @@ def _bs_rel_block_sweep(vblk, e, q, key, rd, rs: RelStatic, b0: int,
 
 
 def _bs_v_blocked(e, v, v_mu, v_lambda, alpha, plan, row, rels, rstats,
-                  cfg: FMConfig, qB_pre, F: int, key):
+                  cfg: FMConfig, qB_pre, F: int, key, counters=None):
     """Factor-blocked BS v sweep (see the order/correction notes above)."""
-    from svbfm_tpu.learners.mcmc import _maybe_sample, _v_block_pass
+    from svbfm_tpu.learners.mcmc import (_count_bad, _maybe_sample,
+                                         _v_block_pass)
 
     dtype = v.dtype
     K, D_all = v.shape
@@ -437,7 +451,8 @@ def _bs_v_blocked(e, v, v_mu, v_lambda, alpha, plan, row, rels, rstats,
         lam_t = jax.lax.dynamic_slice_in_dim(lam_dk, b0, F, axis=1)
         if has_main:
             e, v_t, q, key = _v_block_pass(e, v_t, mu_t, lam_t, key, plan,
-                                           row, cfg, alpha, q_extra=q)
+                                           row, cfg, alpha, q_extra=q,
+                                           counters=counters)
         if d_main > 0:
             # unobserved MAIN columns -> prior, even when the main design
             # has no observed entries at all (plan.unobserved is padded
@@ -445,12 +460,15 @@ def _bs_v_blocked(e, v, v_mu, v_lambda, alpha, plan, row, rels, rstats,
             # matches the sequential path's unconditional prior redraw
             key, sub = jax.random.split(key)
             new_un = _maybe_sample(cfg.do_sample, sub, mu_t, 1.0 / lam_t, v_t)
+            if counters is not None:
+                _count_bad(counters, "v",
+                           jnp.where(plan.unobserved[:, None], new_un, 0.0))
             v_t = jnp.where(plan.unobserved[:, None], new_un, v_t)
         vblk = v_t.T  # [F, D_all]
         for r_i, (rd, rs) in enumerate(zip(rels, rstats)):
             vblk, e, q, key = _bs_rel_block_sweep(
                 vblk, e, q, key, rd, rs, b0, qB_blks[r_i], gBs[r_i],
-                mu_dk, lam_dk, alpha, cfg, F)
+                mu_dk, lam_dk, alpha, cfg, F, counters=counters)
         v = jax.lax.dynamic_update_slice_in_dim(v, vblk, b0, axis=0)
     return e, v, key
 
@@ -515,15 +533,18 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
     draws follow draw_w_rel/draw_v_rel (:722-780, :842-899) with
     conflict-free bins inside each relation and hoisted per-relation
     z-tables (one normal draw per sweep, not per bucket)."""
-    from svbfm_tpu.learners.mcmc import (draw_alpha, draw_v_hyperpriors,
-                                         draw_w0, draw_w_hyperpriors,
-                                         v_factor_main_bins, w_sweep_main)
+    from svbfm_tpu.learners.mcmc import (_count_bad, draw_alpha,
+                                         draw_v_hyperpriors, draw_w0,
+                                         draw_w_hyperpriors,
+                                         v_factor_main_bins, w_sweep_main,
+                                         zero_nan_counters)
 
     dtype = state.w.dtype
     G, K = cfg.num_groups, cfg.num_factor
     N = jnp.asarray(num_cases, dtype)
     e = state.e
     key = state.key
+    counters = zero_nan_counters()
 
     def next_key():
         nonlocal key
@@ -536,19 +557,22 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
             return None
         return jax.random.normal(next_key(), (Dr,), dtype)
 
-    def guarded(mean, s2, z, cols, old):
+    def guarded(mean, s2, z, cols, old, count_as="w"):
         if z is not None:
             val = mean + jnp.sqrt(s2) * _gather(z, cols)
         else:
             val = mean
+        _count_bad(counters, count_as, val)
         val = jnp.where(jnp.isfinite(s2), val, jnp.zeros_like(val))
         return keep_finite(val, old)
 
-    alpha = draw_alpha(e, row.valid, state.alpha, cfg, N, next_key, dtype)
+    alpha = draw_alpha(e, row.valid, state.alpha, cfg, N, next_key, dtype,
+                       counters=counters)
 
     w0 = state.w0
     if cfg.k0:
-        e, w0 = draw_w0(e, row.valid, w0, cfg, alpha, N, next_key)
+        e, w0 = draw_w0(e, row.valid, w0, cfg, alpha, N, next_key,
+                        counters=counters)
 
     w, v = state.w, state.v
     w_mu, w_lambda = state.w_mu, state.w_lambda
@@ -559,11 +583,11 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
         # joined groups cover relation attrs too
         w_mu, w_lambda = draw_w_hyperpriors(
             w, w_mu, w_lambda, plan.attr_group, plan.num_attr_per_group,
-            cfg, G, next_key, dtype)
+            cfg, G, next_key, dtype, counters=counters)
         # main-block w sweep + unobserved-main prior draws (relation attrs
         # are never touched: plan.unobserved is padded False over them)
         e, w = w_sweep_main(e, w, w_mu, w_lambda, alpha, plan, row, cfg,
-                            next_key)
+                            next_key, counters=counters)
 
         # --- relation w sweeps (draw_w_rel, fm_learn_mcmc.h:722-780) ---
         for rd, rs in zip(rels, rstats):
@@ -609,6 +633,7 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                 un = mu_d + jnp.sqrt(s2_d) * zr
             else:
                 un = mu_d
+            _count_bad(counters, "w", jnp.where(rd.unobserved, un, 0.0))
             un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
             wr = jnp.where(rd.unobserved, keep_finite(un, wr), wr)
             w = jax.lax.dynamic_update_slice_in_dim(w, wr, off, axis=0)
@@ -618,7 +643,7 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
     if K > 0:
         v_mu, v_lambda = draw_v_hyperpriors(
             v, v_mu, v_lambda, plan.attr_group, plan.num_attr_per_group,
-            cfg, G, K, next_key, dtype)
+            cfg, G, K, next_key, dtype, counters=counters)
 
         # qB[K, R] per relation, channel-stacked over ALL factors in one
         # gather pass per row-layout position (factor f's qB depends only on
@@ -640,7 +665,8 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
             (min(cfg.factor_block, K) if cfg.factor_block > 0 else K)
         if F_eff > 1 and K % F_eff == 0:
             e, v, key = _bs_v_blocked(e, v, v_mu, v_lambda, alpha, plan, row,
-                                      rels, rstats, cfg, qB_pre, F_eff, key)
+                                      rels, rstats, cfg, qB_pre, F_eff, key,
+                                      counters=counters)
             joins = [rd.join_tr for rd in rels]
             yhat = bs_scores(w0, w, v, row.ids, row.vals, rels, rstats, joins,
                              k0=cfg.k0, k1=cfg.k1)
@@ -648,10 +674,13 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                 yhat = yhat - row.target
             return MCMCState(w0=w0, w=w, v=v, alpha=alpha, w_mu=w_mu,
                              w_lambda=w_lambda, v_mu=v_mu, v_lambda=v_lambda,
-                             e=yhat, key=key)
+                             e=yhat, key=key), dict(counters)
 
         def f_step(carry, xs):
-            e, key = carry
+            # v nan/inf counts ride the carry (a dict mutated inside the
+            # scan body would leak its tracers)
+            e, key, vnan, vinf = carry
+            local: dict = {}
             v_f, mu_f, lam_f, qB_all = xs  # [D_all], [G], [G], per-rel [R]
             # total q: main row layout + per-relation qB gathers
             q = jnp.zeros_like(e)
@@ -662,7 +691,8 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
             # --- main-block bins + unobserved-main prior draws (shared
             # helper; relation attrs stay untouched via the padded mask) ---
             e, q, v_f, key = v_factor_main_bins(
-                e, q, v_f, mu_f, lam_f, alpha, plan, row, cfg, key)
+                e, q, v_f, mu_f, lam_f, alpha, plan, row, cfg, key,
+                counters=local)
 
             # --- relation sweeps (draw_v_rel, fm_learn_mcmc.h:842-899) ---
             for r_i, (rd, rs) in enumerate(zip(rels, rstats)):
@@ -710,6 +740,7 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                             val = mean + jnp.sqrt(s2) * _gather(zv, blk.cols)
                         else:
                             val = mean
+                        _count_bad(local, "v", val)
                         val = jnp.where(jnp.isfinite(s2), val,
                                         jnp.zeros_like(val))
                         new_v = keep_finite(val, v_c)
@@ -733,6 +764,7 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                 lam_d = _gather(lam_f, rd.attr_group)
                 s2_d = 1.0 / lam_d
                 un = mu_d + jnp.sqrt(s2_d) * zv if zv is not None else mu_d
+                _count_bad(local, "v", jnp.where(rd.unobserved, un, 0.0))
                 un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
                 vr = jnp.where(rd.unobserved, keep_finite(un, vr), vr)
                 v_f = jax.lax.dynamic_update_slice_in_dim(v_f, vr, off, axis=0)
@@ -741,10 +773,15 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                 g = take_cols(jnp.stack([dy, dqB]), rd.join_tr)  # [2, N]
                 e = e + g[0] + qO * g[1]
                 q = q + g[1]
-            return (e, key), v_f
+            vnan = vnan + local.get("nan_v", 0)
+            vinf = vinf + local.get("inf_v", 0)
+            return (e, key, vnan, vinf), v_f
 
-        (e, key), v = jax.lax.scan(
-            f_step, (e, key), (v, v_mu.T, v_lambda.T, tuple(qB_pre)))
+        z32 = jnp.zeros((), jnp.int32)
+        (e, key, vnan, vinf), v = jax.lax.scan(
+            f_step, (e, key, z32, z32), (v, v_mu.T, v_lambda.T, tuple(qB_pre)))
+        counters["nan_v"] = counters["nan_v"] + vnan
+        counters["inf_v"] = counters["inf_v"] + vinf
 
     # --- full re-predict (fm_learn_mcmc.h predict_data_and_write_to_eterms) ---
     joins = [rd.join_tr for rd in rels]
@@ -755,7 +792,7 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
 
     return MCMCState(w0=w0, w=w, v=v, alpha=alpha, w_mu=w_mu,
                      w_lambda=w_lambda, v_mu=v_mu, v_lambda=v_lambda,
-                     e=yhat, key=key)
+                     e=yhat, key=key), dict(counters)
 
 
 # ---------------------------------------------------------------------------
@@ -854,7 +891,7 @@ class MCMCBSLearner(MCMCLearner):
             step_fn, mesh=self.mesh,
             in_specs=(_state_specs(), _row_specs(),
                       plan_specs_for(self.plan_data), *self._extra_specs),
-            out_specs=_state_specs(),
+            out_specs=(_state_specs(), self._nanspec()),
         ))
 
         def scores_fn(w0, w, v, ids, vals, rels, joins):

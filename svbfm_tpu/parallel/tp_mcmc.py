@@ -382,9 +382,13 @@ def tp_mcmc_draw_all(state: MCMCState, row: RowData, plan: TPPlanData,
     if cfg.task == TASK_REGRESSION:
         yhat = yhat - row.target
 
+    # nan/inf draw counters are not tracked on the TP path (shard-local
+    # sweep values would need a feature-axis psum that double-counts the
+    # replicated draws); the base MCMC/BS learners surface them
+    from svbfm_tpu.learners.mcmc import zero_nan_counters
     return MCMCState(w0=w0, w=w_l, v=v_l, alpha=alpha, w_mu=w_mu,
                      w_lambda=w_lambda, v_mu=v_mu, v_lambda=v_lambda,
-                     e=yhat, key=key)
+                     e=yhat, key=key), zero_nan_counters()
 
 
 # ---------------------------------------------------------------------------
@@ -475,7 +479,7 @@ class TPMCMCLearner(MCMCLearner):
         self._step = jax.jit(jax.shard_map(
             step_fn, mesh=self.mesh,
             in_specs=(self._sspec(), self._rspec(), self._pspec()),
-            out_specs=self._sspec(),
+            out_specs=(self._sspec(), self._nanspec()),
         ))
 
         def scores_fn(w0, w, v, ids, vals):

@@ -113,7 +113,7 @@ def test_bs_als_matches_binorder_oracle():
     state = bs.init_state()
     orc.init(float(state.w0), np.asarray(state.w), np.asarray(state.v))
     for _ in range(3):
-        state = bs._step(state, bs.train_row, bs.plan_data, bs.rels)
+        state, _nans = bs._step(state, bs.train_row, bs.plan_data, bs.rels)
         orc.iterate()
         np.testing.assert_allclose(float(state.w0), orc.w0, rtol=2e-3,
                                    atol=1e-5)
@@ -221,7 +221,7 @@ def test_bs_blocked_als_matches_oracle(n_dev):
     state = bs.init_state()
     orc.init(float(state.w0), np.asarray(state.w), np.asarray(state.v))
     for _ in range(3):
-        state = bs._step(state, bs.train_row, bs.plan_data, bs.rels)
+        state, _nans = bs._step(state, bs.train_row, bs.plan_data, bs.rels)
         orc.iterate()
         np.testing.assert_allclose(float(state.w0), orc.w0, rtol=2e-3,
                                    atol=1e-5)

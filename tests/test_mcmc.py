@@ -44,7 +44,7 @@ def test_als_matches_serial_oracle(n_dev):
     np.testing.assert_allclose(np.asarray(state.e)[: tr.num_rows], orc.e,
                                rtol=2e-4, atol=2e-4)
     for it in range(3):
-        state = learner._step(state, learner.train_row, learner.plan_data)
+        state, _nans = learner._step(state, learner.train_row, learner.plan_data)
         orc.iterate()
         np.testing.assert_allclose(float(state.w0), orc.w0, rtol=2e-3, atol=1e-5)
         np.testing.assert_allclose(np.asarray(state.w), orc.w, rtol=5e-3, atol=5e-4)
@@ -106,7 +106,7 @@ def test_als_blocked_matches_binorder_oracle(n_dev):
                             regw=0.05, regv=0.05, color=learner.plan.color)
     orc.init(float(state.w0), np.asarray(state.w), np.asarray(state.v))
     for it in range(3):
-        state = learner._step(state, learner.train_row, learner.plan_data)
+        state, _nans = learner._step(state, learner.train_row, learner.plan_data)
         orc.iterate()
         np.testing.assert_allclose(float(state.w0), orc.w0, rtol=2e-3, atol=1e-5)
         np.testing.assert_allclose(np.asarray(state.w), orc.w, rtol=5e-3, atol=5e-4)
@@ -178,3 +178,36 @@ def test_als_blocked_matches_sequential_closely():
     s_q, h_q = l_seq.run(num_iter=12, verbose=False)
     assert abs(h_b[-1]["rmse_this"] - h_q[-1]["rmse_this"]) < 0.02
     assert h_b[-1]["rmse_this"] < 1.0
+
+
+def test_nan_counters_surface_and_count():
+    """The draw returns the reference's nan/inf counters
+    (fm_learn_mcmc_simultaneous.h:100-128): zero on a healthy run, in the
+    history records, and incremented when a draw candidate goes bad."""
+    import jax
+    import jax.numpy as jnp
+
+    from svbfm_tpu.learners.mcmc import (_maybe_sample, NAN_FAMILIES,
+                                         zero_nan_counters)
+
+    # unit: a bad sigma^2 makes the sampled candidate NaN -> counted
+    counters = zero_nan_counters()
+    key = jax.random.PRNGKey(0)
+    mean = jnp.zeros((4,))
+    sigma = jnp.array([1.0, -1.0, jnp.nan, 1.0])  # sqrt(-1)=nan, sqrt(nan)=nan
+    out = _maybe_sample(True, key, mean, sigma, jnp.zeros((4,)),
+                        counters=counters, count_as="w")
+    assert int(counters["nan_w"]) == 2
+    assert np.isfinite(np.asarray(out)).all()  # guard reverted the bad draws
+
+    # integration: healthy Gibbs run surfaces all-zero counters per iter
+    tr, te, cfg, meta, mesh = _setup(regw=0.1, regv=0.1)
+    D = cfg.num_attributes
+    learner = MCMCLearner(cfg, SparseDataset.from_coo(tr, D),
+                          SparseDataset.from_coo(te, D), meta, mesh=mesh,
+                          write_files=False)
+    _state, hist = learner.run(num_iter=2, verbose=False)
+    for rec in hist:
+        for fam in NAN_FAMILIES:
+            assert rec[f"nan_{fam}"] == 0
+            assert rec[f"inf_{fam}"] == 0
