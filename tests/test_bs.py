@@ -250,3 +250,22 @@ def test_bs_blocked_gibbs_matches_sequential_closely():
     _, h_seq = l_seq.run(num_iter=10, verbose=False)
     assert abs(h_blk[-1]["rmse"] - h_seq[-1]["rmse"]) < 0.05
     assert h_blk[-1]["rmse"] < 0.6
+
+
+@pytest.mark.parametrize("fb", [1, 3])
+def test_bs_nan_counters_surface(fb):
+    """The BS draw surfaces the reference's nan/inf counters on BOTH factor
+    paths (sequential fb=1 and blocked fb=K), all zero on a healthy run."""
+    from svbfm_tpu.learners.mcmc import NAN_FAMILIES
+
+    main, rel, items, meta, cfg, d_main = _setup()
+    D = cfg.num_attributes
+    tr = SparseDataset.from_coo(main, D)
+    bs = MCMCBSLearner(dataclasses.replace(cfg, factor_block=fb), tr, tr,
+                       [rel], [items], [items], meta, d_main,
+                       mesh=make_mesh(1), write_files=False)
+    _state, hist = bs.run(num_iter=2, verbose=False)
+    for rec in hist:
+        for fam in NAN_FAMILIES:
+            assert rec[f"nan_{fam}"] == 0
+            assert rec[f"inf_{fam}"] == 0
