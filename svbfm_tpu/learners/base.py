@@ -194,6 +194,20 @@ def keep_finite(new, old):
     return jnp.where(jnp.isfinite(new), new, old)
 
 
+def print_nonzero_nans(rec, verbose=True):
+    """Print a history record's nonzero ``nan_*``/``inf_*`` draw counters,
+    one line per iteration, matching the reference's print-only-when-nonzero
+    convention (fm_learn_mcmc_simultaneous.h:100-128,
+    fm_learn_vb_online_simultaneous.h:159-186)."""
+    if not verbose:
+        return
+    bad = {k: int(v) for k, v in rec.items()
+           if (k.startswith("nan_") or k.startswith("inf_")) and int(v) != 0}
+    if bad:
+        print("\t".join(f"#{k.split('_', 1)[0]}s in {k.split('_', 1)[1]}: {v}"
+                        for k, v in bad.items()))
+
+
 # ---------------------------------------------------------------------------
 # Evaluation (reference _evaluate / _evaluate_class semantics)
 # ---------------------------------------------------------------------------

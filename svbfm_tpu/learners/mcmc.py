@@ -945,16 +945,8 @@ class MCMCLearner:
                                   f"\tMAP@{map_eval.k}= {rec['map']:.6g}")
                     elif verbose:
                         print(f"#Iter={it:3d}\tTest={rec['accuracy']:.6g}")
-                if verbose:
-                    # reference nan/inf counters, printed only when nonzero
-                    # (fm_learn_mcmc_simultaneous.h:100-128)
-                    bad = {k: int(rec[k]) for k in rec
-                           if (k.startswith("nan_") or k.startswith("inf_"))
-                           and int(rec[k]) != 0}
-                    if bad:
-                        print("\t".join(f"#{k.split('_', 1)[0]}s in "
-                                        f"{k.split('_', 1)[1]}: {v}"
-                                        for k, v in bad.items()))
+                from svbfm_tpu.learners.base import print_nonzero_nans
+                print_nonzero_nans(rec, verbose)
                 from svbfm_tpu.utils.rlog_schema import stream_row
                 stream_row(self, rec)
                 history.append(rec)

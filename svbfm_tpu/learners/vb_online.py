@@ -62,6 +62,7 @@ from svbfm_tpu.learners.base import (
     evaluate_classification,
     evaluate_regression,
     keep_finite,
+    print_nonzero_nans,
     ref_cdf_gaussian,
 )
 from svbfm_tpu.learners.vb import init_vb_params
@@ -110,6 +111,29 @@ def _psum(x):
     return jax.lax.psum(x, DATA_AXIS)
 
 
+#: reference nan/inf counter families
+#: (fm_learn_vb_online_simultaneous.h:71-72, printed when nonzero at
+#: :159-186 — the reference's print labels are all copy-pasted as "alpha";
+#: we print the real family names)
+OVB_NAN_FAMILIES = ("alpha", "sigma_0", "sigma_w", "sigma_v",
+                    "mu_0_dash", "sigma_0_dash", "mu_w_dash",
+                    "sigma_w_dash", "mu_v_dash", "sigma_v_dash")
+
+
+def zero_ovb_counters():
+    """All-zero counter dict with the full fixed key set."""
+    z = jnp.zeros((), jnp.int32)
+    return {k: z for fam in OVB_NAN_FAMILIES
+            for k in (f"nan_{fam}", f"inf_{fam}")}
+
+
+def ovb_counter_specs():
+    """Replicated PartitionSpecs for the counter dict (every count derives
+    from psum'd statistics, so all shards agree)."""
+    return {k: P() for fam in OVB_NAN_FAMILIES
+            for k in (f"nan_{fam}", f"inf_{fam}")}
+
+
 def init_ovb_state(key: jax.Array, cfg: FMConfig, col_count: np.ndarray,
                    dtype=jnp.float32) -> OVBState:
     p = init_vb_params(key, cfg, dtype)
@@ -134,7 +158,12 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
                      num_attr_per_group):
     """Process one chunk (fm_learn_vb_online.h:354-468).  Runs inside
     shard_map; `blocks` is the chunk's (bins -> buckets) BlockData tree with
-    shard-local [C, L] entry arrays."""
+    shard-local [C, L] entry arrays.  Returns ``(new_state, fe, nans)``
+    where ``nans`` maps ``nan_<family>``/``inf_<family>`` to int32
+    rejected-candidate counts (fm_learn_vb_online_simultaneous.h:71-72)."""
+    from svbfm_tpu.learners.mcmc import _count_bad
+
+    counters = zero_ovb_counters()
     dtype = state.mu_w.dtype
     D, K = cfg.num_attributes, cfg.num_factor
     Nf = jnp.asarray(n_full, dtype)
@@ -164,6 +193,8 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
         w0_temp = _psum(jnp.sum(e)) / Nc + mu_0
         n_sig_0 = (1.0 - rho0) * n_sig_0 + rho0 * (state.sigma_0 + Nf * alpha)
         n_mu_0 = (1.0 - rho0) * n_mu_0 + rho0 * Nf * alpha * w0_temp
+        _count_bad(counters, "mu_0_dash", n_mu_0 / n_sig_0)
+        _count_bad(counters, "sigma_0_dash", 1.0 / n_sig_0)
         mu_new = keep_finite(n_mu_0 / n_sig_0, mu_old_p)
         sig_new = keep_finite(1.0 / n_sig_0, sig_old_p)
         e = e + (mu_old_p - mu_new) * row.valid
@@ -192,6 +223,10 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
                 nsig_new = (1.0 - rho) * nsig_c + rho * (
                     sw_g + alpha * blk.col_count * msx2)
                 nmu_new = (1.0 - rho) * nmu_c + rho * blk.col_count * alpha * s1
+                _count_bad(counters, "mu_w_dash",
+                           jnp.where(active, nmu_new / nsig_new, 0.0))
+                _count_bad(counters, "sigma_w_dash",
+                           jnp.where(active, 1.0 / nsig_new, 0.0))
                 mu_new = keep_finite(nmu_new / nsig_new, mu_c)
                 sig_new = keep_finite(1.0 / nsig_new, sig_c)
                 # inactive (not in this chunk) columns stay untouched
@@ -231,7 +266,8 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
         fmask = (jnp.arange(K_pad).reshape(nb, F) < K) if K_pad != K else None
 
         def blk_step(carry, xs):
-            e, t, t_vj_add = carry
+            # v nan/inf counts ride the carry (trace-safe inside lax.scan)
+            e, t, t_vj_add, vcnt = carry
             if fmask is None:
                 mu_b, sig_b, nmu_b, nsig_b, sv_b = xs
                 m = None
@@ -240,19 +276,26 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
                 m = m[None, :]
             out = ovb_v_block(e, t, mu_b.T, sig_b.T, nmu_b.T, nsig_b.T,
                               sv_b.T, alpha, rho_v_d, blocks, row, cfg, m)
-            e, t, mu_t, sig_t, nmu_t, nsig_t, tv_add = out
-            return (e, t, t_vj_add + tv_add), (mu_t.T, sig_t.T, nmu_t.T, nsig_t.T)
+            e, t, mu_t, sig_t, nmu_t, nsig_t, tv_add, vc = out
+            vcnt = tuple(a + b for a, b in zip(vcnt, vc))
+            return (e, t, t_vj_add + tv_add, vcnt), \
+                (mu_t.T, sig_t.T, nmu_t.T, nsig_t.T)
 
         xs = (pad_f(mu_v), pad_f(sigma_v_dash), pad_f(n_mu_v),
               pad_f(n_sig_v, fill=1.0), pad_f(sv_dk.T))
         if fmask is not None:
             xs = xs + (fmask,)
-        carry0 = (e, t, jnp.zeros((D,), dtype))
+        z32 = jnp.zeros((), jnp.int32)
+        carry0 = (e, t, jnp.zeros((D,), dtype), (z32,) * 4)
         if nb == 1:
-            (e, t, tv_add), out = blk_step(carry0, jax.tree.map(lambda a: a[0], xs))
+            (e, t, tv_add, vcnt), out = blk_step(
+                carry0, jax.tree.map(lambda a: a[0], xs))
             outs = jax.tree.map(lambda a: a[None], out)
         else:
-            (e, t, tv_add), outs = jax.lax.scan(blk_step, carry0, xs)
+            (e, t, tv_add, vcnt), outs = jax.lax.scan(blk_step, carry0, xs)
+        for k, val in zip(("nan_mu_v_dash", "inf_mu_v_dash",
+                           "nan_sigma_v_dash", "inf_sigma_v_dash"), vcnt):
+            counters[k] = counters[k] + val
         mu_vp, sig_vp, nmu_vp, nsig_vp = outs
         mu_v = mu_vp.reshape(K_pad, -1)[:K]
         sigma_v_dash = sig_vp.reshape(K_pad, -1)[:K]
@@ -264,27 +307,28 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
     # --- hyperparameter smoothing (fm_learn_vb_online.h:410-468) ---
     alpha_temp = _psum(jnp.sum(e * e + t))
     alpha_cand = (1.0 - rho0) * alpha + rho0 * (Nc / alpha_temp)
+    _count_bad(counters, "alpha", alpha_cand)
     alpha_ok = jnp.isfinite(alpha_cand)
     alpha_new = jnp.where(alpha_ok, alpha_cand, alpha)
     # the reference early-returns on a bad alpha, skipping the remaining
     # hyper updates and the t_w0 increment for this chunk
-    sigma_0 = jnp.where(alpha_ok,
-                        (1.0 - rho0) * state.sigma_0
-                        + rho0 * (1.0 / (mu_0 * mu_0 + sigma_0_dash)),
-                        state.sigma_0)
+    sigma_0_cand = ((1.0 - rho0) * state.sigma_0
+                    + rho0 * (1.0 / (mu_0 * mu_0 + sigma_0_dash)))
+    _count_bad(counters, "sigma_0", sigma_0_cand)
+    sigma_0 = jnp.where(alpha_ok, sigma_0_cand, state.sigma_0)
     G = cfg.num_groups
     w_stat = jax.ops.segment_sum(mu_w * mu_w + sigma_w_dash, attr_group,
                                  num_segments=G)
-    sigma_w = jnp.where(alpha_ok,
-                        (1.0 - rho0) * state.sigma_w
-                        + rho0 * (num_attr_per_group / w_stat),
-                        state.sigma_w)
+    sigma_w_cand = ((1.0 - rho0) * state.sigma_w
+                    + rho0 * (num_attr_per_group / w_stat))
+    _count_bad(counters, "sigma_w", sigma_w_cand)
+    sigma_w = jnp.where(alpha_ok, sigma_w_cand, state.sigma_w)
     v_stat = jax.ops.segment_sum((mu_v * mu_v + sigma_v_dash).T, attr_group,
                                  num_segments=G)  # [G, K]
-    sigma_v = jnp.where(alpha_ok,
-                        (1.0 - rho0) * state.sigma_v
-                        + rho0 * (num_attr_per_group[:, None] / v_stat),
-                        state.sigma_v)
+    sigma_v_cand = ((1.0 - rho0) * state.sigma_v
+                    + rho0 * (num_attr_per_group[:, None] / v_stat))
+    _count_bad(counters, "sigma_v", sigma_v_cand)
+    sigma_v = jnp.where(alpha_ok, sigma_v_cand, state.sigma_v)
     t_w0 = state.t_w0 + jnp.where(alpha_ok, 1.0, 0.0)
 
     # --- chunk free energy (fm_learn_vb_online.h:629-663; 2*3.14 kept) ---
@@ -304,13 +348,18 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
         n_mu_0=n_mu_0, n_sig_0=n_sig_0, n_mu_w=n_mu_w, n_sig_w=n_sig_w,
         n_mu_v=n_mu_v, n_sig_v=n_sig_v, alpha=alpha_new, sigma_0=sigma_0,
         sigma_w=sigma_w, sigma_v=sigma_v, t_w0=t_w0, t_wj=t_wj, t_vj=t_vj)
-    return new_state, fe
+    return new_state, fe, dict(counters)
 
 
 def ovb_v_block(e, t, mu_t, sig_t, nmu_t, nsig_t, sv_t, alpha, rho_v_d,
                 blocks, row, cfg: FMConfig, fmask=None):
     """Online v update for a block of F factors (channel-stacked gathers,
-    same execution scheme as vb.vb_v_block_update)."""
+    same execution scheme as vb.vb_v_block_update).  The last return value
+    is the (nan_mu, inf_mu, nan_sig, inf_sig) candidate counts for the
+    block (int32 scalars, summed into the chunk counters by the caller)."""
+    from svbfm_tpu.learners.mcmc import _count_bad
+
+    local: dict = {}
     D, F = mu_t.shape
     dtype = mu_t.dtype
     ids, x_r = row.ids, row.vals
@@ -354,6 +403,11 @@ def ovb_v_block(e, t, mu_t, sig_t, nmu_t, nsig_t, sv_t, alpha, rho_v_d,
             cc = blk.col_count[:, None]
             nsig_new = (1.0 - rho) * nsig_c + rho * (sv_g + alpha * cc * v_sig)
             nmu_new = (1.0 - rho) * nmu_c + rho * cc * alpha * v_mean
+            sel = active if fmask is None else (active & fmask)
+            _count_bad(local, "mu_v_dash",
+                       jnp.where(sel, nmu_new / nsig_new, 0.0))
+            _count_bad(local, "sigma_v_dash",
+                       jnp.where(sel, 1.0 / nsig_new, 0.0))
             mu_new = keep_finite(nmu_new / nsig_new, mu_c)
             sig_new = keep_finite(1.0 / nsig_new, sig_c)
             if fmask is not None:
@@ -391,7 +445,12 @@ def ovb_v_block(e, t, mu_t, sig_t, nmu_t, nsig_t, sv_t, alpha, rho_v_d,
         tz = tz + (x2_re * dmu2_e).sum(1) * vmask
         e = e - (he * dmu_e).sum((1, 2)) * row.valid
         t = t + (((h1e + h2e) * dsig_e + h1e * dmu2_e)).sum((1, 2)) * row.valid
-    return e, t, mu_t, sig_t, nmu_t, nsig_t, tv_add
+    z32 = jnp.zeros((), jnp.int32)
+    vc = (jnp.asarray(local.get("nan_mu_v_dash", z32), jnp.int32),
+          jnp.asarray(local.get("inf_mu_v_dash", z32), jnp.int32),
+          jnp.asarray(local.get("nan_sigma_v_dash", z32), jnp.int32),
+          jnp.asarray(local.get("inf_sigma_v_dash", z32), jnp.int32))
+    return e, t, mu_t, sig_t, nmu_t, nsig_t, tv_add, vc
 
 
 # ---------------------------------------------------------------------------
@@ -657,7 +716,7 @@ class OVBLearner:
         self._chunk_step_fn = jax.jit(jax.shard_map(
             step, mesh=self.mesh,
             in_specs=(_state_specs(), _row_specs(False), block_specs, rep),
-            out_specs=(_state_specs(), rep)))
+            out_specs=(_state_specs(), rep, ovb_counter_specs())))
         return self._chunk_step_fn
 
     def _build_eval(self):
@@ -727,25 +786,29 @@ class OVBLearner:
             # i+1 from disk and starts its host->device transfer — the
             # dominant cost of the 150M-row runs (see PARITY_RUNS.md)
             fut = prefetch.submit(self._chunk_device_data, int(order[0]))
+            nans_acc = []
             for idx, ci in enumerate(order):
                 row, blocks = fut.result()
                 if idx + 1 < len(order):
                     fut = prefetch.submit(self._chunk_device_data,
                                           int(order[idx + 1]))
-                state, fe = step_fn(state, row, blocks,
-                                    jnp.asarray(float(self.chunk_sizes[ci]),
-                                                jnp.float32))
+                state, fe, nans = step_fn(
+                    state, row, blocks,
+                    jnp.asarray(float(self.chunk_sizes[ci]), jnp.float32))
                 fes.append(fe)
+                nans_acc.append(nans)
             # one host transfer for all chunk free-energies + eval metrics
             # (per-value np.asarray costs a tunnel round-trip each)
             m1, m2 = eval_fn(state, self.test_row)
-            fes, m1, m2 = jax.device_get((fes, m1, m2))
+            fes, m1, m2, nans_acc = jax.device_get((fes, m1, m2, nans_acc))
             fes = [float(f) for f in fes]
+            nans = {k: int(sum(d[k] for d in nans_acc))
+                    for k in nans_acc[0]} if nans_acc else {}
             # reference: free energy appended for first and last chunk
             fe_file.append(-fes[0])
             fe_file.append(-fes[-1])
             rec = {"iter": it, "free_energy": fes[-1],
-                   "time_learn": _time.perf_counter() - t0}
+                   "time_learn": _time.perf_counter() - t0, **nans}
             if cfg.task == TASK_REGRESSION:
                 rec.update(rmse=float(m1), mae=float(m2))
                 rmse_file.append(rec["rmse"])
@@ -754,6 +817,7 @@ class OVBLearner:
             else:
                 self._classification_iter(state, it, m1, m2, rec, rmse_file,
                                           verbose)
+            print_nonzero_nans(rec, verbose)
             from svbfm_tpu.utils.rlog_schema import stream_row
             stream_row(self, rec, state)
             history.append(rec)
@@ -789,11 +853,13 @@ class OVBLearner:
                     lambda a: jax.lax.dynamic_index_in_dim(a, ci, 0, False), crow)
                 blocks_i = jax.tree.map(
                     lambda a: jax.lax.dynamic_index_in_dim(a, ci, 0, False), cblocks)
-                st, fe = ovb_chunk_update(
+                st, fe, nans = ovb_chunk_update(
                     st, row_i, blocks_i, cfg, n_full, chunk_n[ci],
                     attr_group, napg)
-                return st, fe
-            state, fes = jax.lax.scan(body, state, order)
+                return st, (fe, nans)
+            state, (fes, nans_per_chunk) = jax.lax.scan(body, state, order)
+            # per-epoch totals (the reference prints once per iteration)
+            nans = jax.tree.map(lambda a: jnp.sum(a), nans_per_chunk)
             # per-epoch test eval (fm_learn_vb_online_simultaneous.h:190-280)
             scores = fm_scores(state.mu_0, state.mu_w, state.mu_v,
                                trow.ids, trow.vals, k0=cfg.k0, k1=cfg.k1)
@@ -813,13 +879,13 @@ class OVBLearner:
                 m2 = -_psum(jnp.sum((mm * jnp.log10(pll)
                                      + (1 - mm) * jnp.log10(1 - pll))
                                     * trow.valid)) / nt
-            return state, fes, m1, m2
+            return state, fes, m1, m2, nans
 
         self._epoch_fn = jax.jit(jax.shard_map(
             epoch, mesh=self.mesh,
             in_specs=(_state_specs(), P(), _row_specs(True),
                       self._block_specs(True), _row_specs(False)),
-            out_specs=(_state_specs(), P(), P(), P()),
+            out_specs=(_state_specs(), P(), P(), P(), ovb_counter_specs()),
         ))
         return self._epoch_fn
 
@@ -890,14 +956,16 @@ class OVBLearner:
             t0 = _time.perf_counter()
             order = jnp.asarray(self.rng.permutation(self.num_chunks)
                                 .astype(np.int32))
-            state, fes, m1, m2 = epoch_fn(state, order, self.chunk_row,
-                                          self.chunk_blocks, self.test_row)
-            fes, m1, m2 = jax.device_get((fes, m1, m2))  # one host transfer
+            state, fes, m1, m2, nans = epoch_fn(
+                state, order, self.chunk_row, self.chunk_blocks, self.test_row)
+            # one host transfer
+            fes, m1, m2, nans = jax.device_get((fes, m1, m2, nans))
             # reference: free energy appended for first and last chunk
             fe_file.append(-float(fes[0]))
             fe_file.append(-float(fes[-1]))
             rec = {"iter": it, "free_energy": float(fes[-1]),
-                   "time_learn": _time.perf_counter() - t0}
+                   "time_learn": _time.perf_counter() - t0,
+                   **{k: int(v) for k, v in nans.items()}}
             if cfg.task == TASK_REGRESSION:
                 rec.update(rmse=float(m1), mae=float(m2))
                 rmse_file.append(rec["rmse"])
@@ -906,6 +974,7 @@ class OVBLearner:
             else:
                 self._classification_iter(state, it, m1, m2, rec, rmse_file,
                                           verbose)
+            print_nonzero_nans(rec, verbose)
             from svbfm_tpu.utils.rlog_schema import stream_row
             stream_row(self, rec, state)
             history.append(rec)

@@ -51,9 +51,10 @@ def test_ovb_matches_serial_oracle(n_dev):
         order = order_rng.permutation(learner.num_chunks)
         import jax.numpy as jnp
         epoch_fn = learner._build_epoch()
-        state, fes, m1, m2 = epoch_fn(state, jnp.asarray(order.astype(np.int32)),
-                                      learner.chunk_row, learner.chunk_blocks,
-                                      learner.test_row)
+        state, fes, m1, m2, nans = epoch_fn(
+            state, jnp.asarray(order.astype(np.int32)),
+            learner.chunk_row, learner.chunk_blocks, learner.test_row)
+        assert all(int(v) == 0 for v in nans.values())  # healthy run
         for ci in order:
             orc.chunk_update(chunk_rows[ci])
         np.testing.assert_allclose(float(state.mu_0), orc.mu_0, rtol=3e-3, atol=1e-4)
