@@ -23,7 +23,8 @@ def main():
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     import dataclasses
 
-    sys.path.insert(0, "scripts")
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bench_bs import make_bs_problem
 
     from svbfm_tpu.data.dataset import SparseDataset

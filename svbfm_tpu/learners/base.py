@@ -194,6 +194,20 @@ def keep_finite(new, old):
     return jnp.where(jnp.isfinite(new), new, old)
 
 
+def zero_counters(families):
+    """All-zero nan/inf candidate-counter dict for the given parameter
+    families (fixed key set => static pytree structure under jit)."""
+    z = jnp.zeros((), jnp.int32)
+    return {k: z for fam in families for k in (f"nan_{fam}", f"inf_{fam}")}
+
+
+def counter_specs(families):
+    """Replicated PartitionSpecs matching :func:`zero_counters` (every count
+    derives from psum'd statistics, so all shards agree)."""
+    from jax.sharding import PartitionSpec as P
+    return {k: P() for fam in families for k in (f"nan_{fam}", f"inf_{fam}")}
+
+
 def print_nonzero_nans(rec, verbose=True):
     """Print a history record's nonzero ``nan_*``/``inf_*`` draw counters,
     one line per iteration, matching the reference's print-only-when-nonzero

@@ -92,19 +92,14 @@ NAN_FAMILIES = ("alpha", "w0", "w", "w_mu", "w_lambda",
 
 def zero_nan_counters():
     """All-zero counter dict with the full fixed key set."""
-    z = jnp.zeros((), jnp.int32)
-    out = {}
-    for fam in NAN_FAMILIES:
-        out[f"nan_{fam}"] = z
-        out[f"inf_{fam}"] = z
-    return out
+    from svbfm_tpu.learners.base import zero_counters
+    return zero_counters(NAN_FAMILIES)
 
 
 def nan_counter_specs():
-    """PartitionSpecs for the counters (replicated: every count derives
-    from psum'd statistics, so all shards agree)."""
-    return {k: P() for fam in NAN_FAMILIES
-            for k in (f"nan_{fam}", f"inf_{fam}")}
+    """PartitionSpecs for the counters (see base.counter_specs)."""
+    from svbfm_tpu.learners.base import counter_specs
+    return counter_specs(NAN_FAMILIES)
 
 
 def _count_bad(counters, name, *cands):
@@ -122,15 +117,19 @@ def _count_bad(counters, name, *cands):
 
 
 def _maybe_sample(do_sample: bool, key, mean, sigma_sqr, old, zero_on_bad_sigma=True,
-                  counters=None, count_as=None):
-    """Reference guard pattern: bad sigma^2 -> 0; bad draw -> keep old."""
+                  counters=None, count_as=None, count_mask=None):
+    """Reference guard pattern: bad sigma^2 -> 0 (uncounted); bad draw ->
+    count + keep old (fm_learn_mcmc.h:686-712: the sigma guard zeroes BEFORE
+    the nan/inf counter check, so a bad-sigma draw is never counted).
+    ``count_mask`` restricts counting to a subset (e.g. unobserved cols)."""
     val = mean
     if do_sample:
         val = mean + jnp.sqrt(sigma_sqr) * jax.random.normal(key, mean.shape, mean.dtype)
-    if count_as is not None:
-        _count_bad(counters, count_as, val)
     if zero_on_bad_sigma:
         val = jnp.where(jnp.isfinite(sigma_sqr), val, jnp.zeros_like(val))
+    if count_as is not None:
+        _count_bad(counters, count_as,
+                   val if count_mask is None else jnp.where(count_mask, val, 0.0))
     return keep_finite(val, old)
 
 
@@ -189,10 +188,9 @@ def _v_blocked_sweep(e, v, v_mu, v_lambda, alpha, plan, row, cfg, F, key,
         e, v_t, key = blk_step(e, v_t, mu_t, lam_t, key)
         # unobserved columns: posterior == prior N(mu, 1/lambda)
         key, sub = jax.random.split(key)
-        new_un = _maybe_sample(cfg.do_sample, sub, mu_t, 1.0 / lam_t, v_t)
-        if counters is not None:
-            _count_bad(counters, "v",
-                       jnp.where(plan.unobserved[:, None], new_un, 0.0))
+        new_un = _maybe_sample(cfg.do_sample, sub, mu_t, 1.0 / lam_t, v_t,
+                               counters=counters, count_as="v",
+                               count_mask=plan.unobserved[:, None])
         v_new = jnp.where(plan.unobserved[:, None], new_un, v_t)
         v = v.at[fs].set(v_new.T)
     return e, v, key
@@ -267,8 +265,8 @@ def _v_block_pass(e, v_t, mu_t, lam_t, key, plan, row, cfg, alpha,
                     s2 = 1.0 / (lam_g[:, f] + alpha * sh2)
                     mean = -s2 * (alpha * v_mean - mu_g[:, f] * lam_g[:, f])
                     val = mean + jnp.sqrt(s2) * zmat[f] if cfg.do_sample else mean
-                    _count_bad(counters, "v", val)
                     val = jnp.where(jnp.isfinite(s2), val, 0.0)
+                    _count_bad(counters, "v", val)
                     new_v = keep_finite(val, v_cf)
                     # closed-form effect of this draw on later factors' h·e
                     if m_x is not None:
@@ -283,8 +281,8 @@ def _v_block_pass(e, v_t, mu_t, lam_t, key, plan, row, cfg, alpha,
                 mean = -s2 * (alpha * v_mean - mu_g * lam_g)
                 if cfg.do_sample:
                     mean = mean + jnp.sqrt(s2) * zmat.T
-                _count_bad(counters, "v", mean)
                 mean = jnp.where(jnp.isfinite(s2), mean, 0.0)
+                _count_bad(counters, "v", mean)
                 new_v_cf = keep_finite(mean, v_c)
             v_t = v_t.at[blk.cols].set(new_v_cf)
             dv_d = dv_d.at[blk.cols].set(v_c - new_v_cf)
@@ -440,8 +438,8 @@ def w_sweep_main(e, w, w_mu, w_lambda, alpha, plan, row, cfg: FMConfig,
                 val = mean + jnp.sqrt(s2) * _gather(zw_d, blk.cols)
             else:
                 val = mean
-            _count_bad(counters, "w", val)
             val = jnp.where(jnp.isfinite(s2), val, jnp.zeros_like(val))
+            _count_bad(counters, "w", val)
             new_w = keep_finite(val, w_c)
             w = w.at[blk.cols].set(new_w)
             dw = dw.at[blk.cols].set(w_c - new_w)
@@ -455,11 +453,10 @@ def w_sweep_main(e, w, w_mu, w_lambda, alpha, plan, row, cfg: FMConfig,
     s2_d = 1.0 / lam_d
     if cfg.do_sample:
         un = mu_d + jnp.sqrt(s2_d) * zw_d  # zw_d unused for observed cols
-        _count_bad(counters, "w", jnp.where(plan.unobserved, un, 0.0))
         un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
     else:
-        _count_bad(counters, "w", jnp.where(plan.unobserved, mu_d, 0.0))
         un = jnp.where(jnp.isfinite(s2_d), mu_d, jnp.zeros_like(mu_d))
+    _count_bad(counters, "w", jnp.where(plan.unobserved, un, 0.0))
     new_un = keep_finite(un, w)
     return e, jnp.where(plan.unobserved, new_un, w)
 
@@ -494,8 +491,8 @@ def v_factor_main_bins(e, q, v_f, mu_f, lam_f, alpha, plan, row,
                 val = mean + jnp.sqrt(s2) * _gather(z_d, blk.cols)
             else:
                 val = mean
-            _count_bad(counters, "v", val)
             val = jnp.where(jnp.isfinite(s2), val, jnp.zeros_like(val))
+            _count_bad(counters, "v", val)
             new_v = keep_finite(val, v_c)
             v_f = v_f.at[blk.cols].set(new_v)
             dv = dv.at[blk.cols].set(v_c - new_v)
@@ -518,11 +515,10 @@ def v_factor_main_bins(e, q, v_f, mu_f, lam_f, alpha, plan, row,
     s2_d = 1.0 / lam_d
     if cfg.do_sample:
         un = mu_d + jnp.sqrt(s2_d) * z_d
-        _count_bad(counters, "v", jnp.where(plan.unobserved, un, 0.0))
         un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
     else:
-        _count_bad(counters, "v", jnp.where(plan.unobserved, mu_d, 0.0))
         un = jnp.where(jnp.isfinite(s2_d), mu_d, jnp.zeros_like(mu_d))
+    _count_bad(counters, "v", jnp.where(plan.unobserved, un, 0.0))
     v_f = jnp.where(plan.unobserved, keep_finite(un, v_f), v_f)
     return e, q, v_f, key
 

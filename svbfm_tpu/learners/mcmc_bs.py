@@ -302,12 +302,15 @@ def _bs_rel_block_sweep(vblk, e, q, key, rd, rs: RelStatic, b0: int,
                         F: int, counters=None):
     """Sweep ONE relation's attributes for factors [b0, b0+F) with exact
     sequential conditionals (draw_v_rel, fm_learn_mcmc.h:842-899).
+    Per-function import avoids the circular learners.mcmc dependency.
 
     vblk: [F, D_all] the block's factor rows; q: [F, N] total q caches;
     qB_blk: [F, R] this relation's block qB; gB: [F, N] its pre-gathered
     qB[join] (still valid here — only this relation's own sweep changes its
     qB, so the gather from _bs_v_blocked is reused instead of repeated).
     Returns (vblk, e, q, key)."""
+    from svbfm_tpu.learners.mcmc import _count_bad
+
     R, Dr, off = rs.num_rows, rs.num_attrs, rs.attr_offset
     dtype = e.dtype
     qO = q - gB  # [F, N] — sweep-invariant
@@ -369,9 +372,8 @@ def _bs_rel_block_sweep(vblk, e, q, key, rd, rs: RelStatic, b0: int,
                     val = mean + jnp.sqrt(s2) * _gather(z_f, blk.cols)
                 else:
                     val = mean
-                from svbfm_tpu.learners.mcmc import _count_bad
-                _count_bad(local, "v", val)
                 val = jnp.where(jnp.isfinite(s2), val, jnp.zeros_like(val))
+                _count_bad(local, "v", val)
                 new_v = keep_finite(val, v_c)
                 vr_f = vr_f.at[blk.cols].set(new_v)
                 dvr = dvr.at[blk.cols].set(v_c - new_v)
@@ -397,9 +399,8 @@ def _bs_rel_block_sweep(vblk, e, q, key, rd, rs: RelStatic, b0: int,
         # unobserved relation attrs -> prior
         s2_d = 1.0 / lam_f
         un = mu_f + jnp.sqrt(s2_d) * z_f if cfg.do_sample else mu_f
-        from svbfm_tpu.learners.mcmc import _count_bad
-        _count_bad(local, "v", jnp.where(rd.unobserved, un, 0.0))
         un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
+        _count_bad(local, "v", jnp.where(rd.unobserved, un, 0.0))
         vr_f = jnp.where(rd.unobserved, keep_finite(un, vr_f), vr_f)
         vnan = vnan + local.get("nan_v", 0)
         vinf = vinf + local.get("inf_v", 0)
@@ -459,10 +460,9 @@ def _bs_v_blocked(e, v, v_mu, v_lambda, alpha, plan, row, rels, rstats,
             # False over relation attrs, so they are never touched here);
             # matches the sequential path's unconditional prior redraw
             key, sub = jax.random.split(key)
-            new_un = _maybe_sample(cfg.do_sample, sub, mu_t, 1.0 / lam_t, v_t)
-            if counters is not None:
-                _count_bad(counters, "v",
-                           jnp.where(plan.unobserved[:, None], new_un, 0.0))
+            new_un = _maybe_sample(cfg.do_sample, sub, mu_t, 1.0 / lam_t, v_t,
+                                   counters=counters, count_as="v",
+                                   count_mask=plan.unobserved[:, None])
             v_t = jnp.where(plan.unobserved[:, None], new_un, v_t)
         vblk = v_t.T  # [F, D_all]
         for r_i, (rd, rs) in enumerate(zip(rels, rstats)):
@@ -562,8 +562,9 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
             val = mean + jnp.sqrt(s2) * _gather(z, cols)
         else:
             val = mean
-        _count_bad(counters, count_as, val)
+        # sigma guard zeroes BEFORE the counter check (fm_learn_mcmc.h:686)
         val = jnp.where(jnp.isfinite(s2), val, jnp.zeros_like(val))
+        _count_bad(counters, count_as, val)
         return keep_finite(val, old)
 
     alpha = draw_alpha(e, row.valid, state.alpha, cfg, N, next_key, dtype,
@@ -633,8 +634,8 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                 un = mu_d + jnp.sqrt(s2_d) * zr
             else:
                 un = mu_d
-            _count_bad(counters, "w", jnp.where(rd.unobserved, un, 0.0))
             un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
+            _count_bad(counters, "w", jnp.where(rd.unobserved, un, 0.0))
             wr = jnp.where(rd.unobserved, keep_finite(un, wr), wr)
             w = jax.lax.dynamic_update_slice_in_dim(w, wr, off, axis=0)
             # resync e with the relation's linear delta
@@ -740,9 +741,9 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                             val = mean + jnp.sqrt(s2) * _gather(zv, blk.cols)
                         else:
                             val = mean
-                        _count_bad(local, "v", val)
                         val = jnp.where(jnp.isfinite(s2), val,
                                         jnp.zeros_like(val))
+                        _count_bad(local, "v", val)
                         new_v = keep_finite(val, v_c)
                         vr = vr.at[blk.cols].set(new_v)
                         dvr = dvr.at[blk.cols].set(v_c - new_v)
@@ -764,8 +765,8 @@ def mcmc_bs_draw_all(state: MCMCState, row, plan, rels, cfg: FMConfig,
                 lam_d = _gather(lam_f, rd.attr_group)
                 s2_d = 1.0 / lam_d
                 un = mu_d + jnp.sqrt(s2_d) * zv if zv is not None else mu_d
-                _count_bad(local, "v", jnp.where(rd.unobserved, un, 0.0))
                 un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
+                _count_bad(local, "v", jnp.where(rd.unobserved, un, 0.0))
                 vr = jnp.where(rd.unobserved, keep_finite(un, vr), vr)
                 v_f = jax.lax.dynamic_update_slice_in_dim(v_f, vr, off, axis=0)
                 # resync e and q (reference end-of-relation sync)

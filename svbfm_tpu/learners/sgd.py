@@ -609,35 +609,43 @@ class SGDOnlineLearner(SGDLearner):
 
     def _run_epoch(self, state, it: int):
         cfg = self.cfg
-        # one compiled epoch fn per chunk shape (chunks padded to equal
-        # size).  A producer thread reads + ships the next chunk while the
-        # device runs the current one (queue depth 1 bounds memory at two
-        # resident chunks) — disk + transfer overlap compute, the dominant
-        # cost of out-of-core epochs.
-        import queue
-        import threading
+        # One compiled epoch fn per chunk shape (chunks padded to equal
+        # size).  Single-slot prefetch: a worker reads + ships chunk i+1
+        # while the device runs chunk i's sweeps — disk + transfer overlap
+        # compute, the dominant cost of out-of-core epochs.  Device
+        # residency is bounded at TWO chunks: before dispatching chunk i we
+        # block on chunk i-1's output state, so its row buffers are already
+        # freed when chunk i+1 starts shipping.  Exceptions on either side
+        # propagate (fut.result / the finally) instead of wedging a thread.
+        from concurrent.futures import ThreadPoolExecutor
 
-        q: "queue.Queue" = queue.Queue(maxsize=1)
+        chunks = self._chunks()
 
-        def producer():
+        def fetch():
             try:
-                for chunk in self._chunks():
-                    row, _n = build_row_data(self.mesh, chunk)
-                    q.put(("ok", row))
-            except BaseException as exc:  # surfaced in the consumer
-                q.put(("err", exc))
-                return
-            q.put(("done", None))
+                chunk = next(chunks)
+            except StopIteration:
+                return None
+            row, _n = build_row_data(self.mesh, chunk)
+            return row
 
-        threading.Thread(target=producer, daemon=True).start()
-        while True:
-            kind, row = q.get()
-            if kind == "done":
-                break
-            if kind == "err":
-                raise row
-            nb = max(1, row.ids.shape[0] // max(1, (cfg.batch_size or 1024)))
-            state = self._chunk_epoch(nb, row.ids.shape[1])(state, row)
+        prefetch = ThreadPoolExecutor(1)
+        try:
+            fut = prefetch.submit(fetch)
+            pending = None  # state whose compute consumes the previous chunk
+            while True:
+                row = fut.result()
+                if row is None:
+                    break
+                if pending is not None:
+                    jax.block_until_ready(pending)
+                nb = max(1, row.ids.shape[0] // max(1, (cfg.batch_size or 1024)))
+                state = self._chunk_epoch(nb, row.ids.shape[1])(state, row)
+                pending = state
+                fut = prefetch.submit(fetch)
+                del row
+        finally:
+            prefetch.shutdown(wait=False)
         return state
 
     def _chunk_epoch(self, nb: int, pad: int):

@@ -122,16 +122,14 @@ OVB_NAN_FAMILIES = ("alpha", "sigma_0", "sigma_w", "sigma_v",
 
 def zero_ovb_counters():
     """All-zero counter dict with the full fixed key set."""
-    z = jnp.zeros((), jnp.int32)
-    return {k: z for fam in OVB_NAN_FAMILIES
-            for k in (f"nan_{fam}", f"inf_{fam}")}
+    from svbfm_tpu.learners.base import zero_counters
+    return zero_counters(OVB_NAN_FAMILIES)
 
 
 def ovb_counter_specs():
-    """Replicated PartitionSpecs for the counter dict (every count derives
-    from psum'd statistics, so all shards agree)."""
-    return {k: P() for fam in OVB_NAN_FAMILIES
-            for k in (f"nan_{fam}", f"inf_{fam}")}
+    """PartitionSpecs for the counter dict (see base.counter_specs)."""
+    from svbfm_tpu.learners.base import counter_specs
+    return counter_specs(OVB_NAN_FAMILIES)
 
 
 def init_ovb_state(key: jax.Array, cfg: FMConfig, col_count: np.ndarray,

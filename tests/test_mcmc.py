@@ -190,15 +190,32 @@ def test_nan_counters_surface_and_count():
     from svbfm_tpu.learners.mcmc import (_maybe_sample, NAN_FAMILIES,
                                          zero_nan_counters)
 
-    # unit: a bad sigma^2 makes the sampled candidate NaN -> counted
+    # unit: reference guard order (fm_learn_mcmc.h:686-712) — a nan/inf
+    # sigma^2 zeroes the draw BEFORE the counter check (uncounted), while a
+    # finite-but-negative sigma^2 slips past the guard and its NaN draw IS
+    # counted then reverted
     counters = zero_nan_counters()
     key = jax.random.PRNGKey(0)
     mean = jnp.zeros((4,))
     sigma = jnp.array([1.0, -1.0, jnp.nan, 1.0])  # sqrt(-1)=nan, sqrt(nan)=nan
     out = _maybe_sample(True, key, mean, sigma, jnp.zeros((4,)),
                         counters=counters, count_as="w")
-    assert int(counters["nan_w"]) == 2
-    assert np.isfinite(np.asarray(out)).all()  # guard reverted the bad draws
+    assert int(counters["nan_w"]) == 1  # only the sigma=-1 draw is counted
+    assert np.isfinite(np.asarray(out)).all()  # zeroed / reverted
+    # ...while a bad DRAW (no sigma guard, e.g. w0/hyperprior mu) is counted
+    # and reverted
+    out2 = _maybe_sample(True, key, jnp.full((4,), jnp.nan), jnp.ones((4,)),
+                         jnp.zeros((4,)), zero_on_bad_sigma=False,
+                         counters=counters, count_as="w0")
+    assert int(counters["nan_w0"]) == 4
+    assert np.isfinite(np.asarray(out2)).all()  # reverted to old
+    # count_mask restricts counting to the masked subset
+    counters2 = zero_nan_counters()
+    _maybe_sample(True, key, jnp.full((4,), jnp.nan), jnp.ones((4,)),
+                  jnp.zeros((4,)), zero_on_bad_sigma=False,
+                  counters=counters2, count_as="v",
+                  count_mask=jnp.array([True, False, True, False]))
+    assert int(counters2["nan_v"]) == 2
 
     # integration: healthy Gibbs run surfaces all-zero counters per iter
     tr, te, cfg, meta, mesh = _setup(regw=0.1, regv=0.1)
