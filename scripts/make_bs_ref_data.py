@@ -40,21 +40,28 @@ def write_relation_text(path, rel):
 
 
 def main():
-    out = sys.argv[1]
-    rows = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
-    ua = int(sys.argv[3]) if len(sys.argv) > 3 else 20
-    ia = int(sys.argv[4]) if len(sys.argv) > 4 else 20
-    convert = sys.argv[5] if len(sys.argv) > 5 else "/tmp/refbuild/convert"
-    transpose = sys.argv[6] if len(sys.argv) > 6 else "/tmp/refbuild/transpose"
+    args = [a for a in sys.argv[1:] if a != "--holdout"]
+    # --holdout: emit a real 90/10 split (test rows held OUT of train) for
+    # convergence-parity runs; the default keeps the bench_bs semantics
+    # (test = first 10% of train) so perf numbers stay comparable across
+    # rounds.
+    holdout = "--holdout" in sys.argv[1:]
+    out = args[0]
+    rows = int(args[1]) if len(args) > 1 else 1_000_000
+    ua = int(args[2]) if len(args) > 2 else 20
+    ia = int(args[3]) if len(args) > 3 else 20
+    convert = args[4] if len(args) > 4 else "/tmp/refbuild/convert"
+    transpose = args[5] if len(args) > 5 else "/tmp/refbuild/transpose"
     os.makedirs(out, exist_ok=True)
 
     bench_bs = _load_bench_bs()
     main_coo, rel_u, rel_i, users, items, y = bench_bs.make_bs_problem(
         rows, ua, ia)
     te_n = min(rows // 10, 1_000_000)
+    tr_lo = te_n if holdout else 0
 
     with open(os.path.join(out, "main.train"), "w") as f:
-        f.write("".join(f"{t:g}\n" for t in y))
+        f.write("".join(f"{t:g}\n" for t in y[tr_lo:]))
     with open(os.path.join(out, "main.test"), "w") as f:
         f.write("".join(f"{t:g}\n" for t in y[:te_n]))
 
@@ -67,7 +74,7 @@ def main():
         subprocess.run([transpose, "-ifile", pfx + ".x",
                         "-ofile", pfx + ".xt"], check=True)
         with open(pfx + ".train", "w") as f:
-            f.write("".join(f"{int(j)}\n" for j in join))
+            f.write("".join(f"{int(j)}\n" for j in join[tr_lo:]))
         with open(pfx + ".test", "w") as f:
             f.write("".join(f"{int(j)}\n" for j in join[:te_n]))
 
