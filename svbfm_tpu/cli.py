@@ -50,6 +50,9 @@ Flags (libFM-compatible; -name value):
   -learn_rate  SGD learn rate (1 or 3 values); default=0.1
   -method      sgd|sgda|sgd_online|als|mcmc|vb|vb_online|exp_sgd|exp_sgd_stoc
   -batch       number of chunks for the online methods; default=50
+  -reshuffle   vb_online: 1 = re-partition chunk membership every epoch
+               (reference disk-re-split semantics); default 0 keeps
+               membership fixed with shuffled order (faster, one program)
   -verbosity   how much to print; default=0
   -rlog        TSV metrics file
   -seed        RNG seed (honored, unlike the reference)
@@ -137,7 +140,7 @@ KNOWN = {"task", "meta", "train", "test", "validation", "out", "dim",
          "factor_block", "factor_jacobi", "checkpoint", "checkpoint_every",
          "map_eval",
          "map_item_offset", "map_k", "profile", "distributed",
-         "feature_shards"}
+         "feature_shards", "reshuffle"}
 
 
 def main(argv: Optional[list[str]] = None) -> int:
@@ -315,6 +318,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         stdev=cmd.get_float("stdev", 1.0),
         factor_block=cmd.get_int("factor_block", 0),
         mcmc_factor_jacobi=cmd.get_int("factor_jacobi", 0) == 1,
+        reshuffle=cmd.get_int("reshuffle", 0) == 1,
     )
     if cfg.mcmc_factor_jacobi and cfg.do_sample:
         print("# WARNING: -factor_jacobi is ignored when sampling "

@@ -65,6 +65,14 @@ class FMConfig:
     exp_family: bool = False
     batch_size: int = 0  # SGD minibatch size; 0 = full vectorized "per-example" epoch
     stdev: float = 1.0  # exp-SGD residual scale (-stdev flag)
+    # vb_online: re-partition chunk MEMBERSHIP every epoch like the
+    # reference's per-epoch disk re-split (fm_learn_vb_online_simultaneous
+    # .h:74-101).  Default False keeps membership fixed (one compiled
+    # program, no per-epoch host rebuild) — measured to cost ~5e-3 test
+    # RMSE at 100k rows / 10 chunks vs the reference (PARITY_RUNS.md);
+    # True recovers the reference asymptote at the price of a per-epoch
+    # host-side plan rebuild + chunk re-upload.
+    reshuffle: bool = False
 
     @property
     def dim_tag(self) -> str:

@@ -495,18 +495,51 @@ class OVBLearner:
         self.train_n = train.num_rows
         self.col_count = train.col_count()
 
-        # fixed chunk membership (seeded), shuffled order per epoch
+        # chunk membership: fixed by default (a seeded permutation; only the
+        # chunk ORDER is reshuffled per epoch).  cfg.reshuffle=True
+        # re-partitions membership every epoch like the reference's
+        # per-epoch disk re-split (fm_learn_vb_online_simultaneous.h:74-101)
+        # — see _reshuffle_membership.
         nb = max(1, min(cfg.num_batches, train.num_rows))
         self.num_chunks = nb
+        self._train_ds = train
+        self._bins = bins
         rng = np.random.default_rng(cfg.seed)
         perm = rng.permutation(train.num_rows)
-        chunk_rows = np.array_split(perm, nb)
-        n_chunk = max(len(c) for c in chunk_rows)
-        n_chunk = -(-n_chunk // n_dev) * n_dev  # pad to shard multiple
+        n_chunk = max(len(c) for c in np.array_split(perm, nb))
+        self._n_chunk = -(-n_chunk // n_dev) * n_dev  # pad to shard multiple
 
-        plans = []
-        chunks = []
-        for ci, rows_idx in enumerate(chunk_rows):
+        plans, chunks = self._build_chunk_plans(perm)
+        self.chunk_sizes = np.array([c.num_rows for c in chunks], np.int64)
+
+        # align chunk plans to a common (bin -> L-bucket -> Cmax) structure
+        self._bin_specs = _plan_shape_spec(plans)
+        self.blocks_np = _align_chunk_plans(plans, D, n_dev, self._bin_specs)
+        self.plans = plans
+        self._put_chunks(chunks, self.blocks_np)
+        self._member_rng = np.random.default_rng(cfg.seed + 2)
+
+        self.test_row, self.test_n = build_row_data(self.mesh, test)
+        self.test_target_np = np.asarray(test.target[: test.num_rows])
+        self.attr_group = put_replicated(self.mesh, meta.attr_group)
+        self.num_attr_per_group = put_replicated(
+            self.mesh, meta.num_attr_per_group.astype(np.float32))
+        self.out_dir = out_dir
+        self.write_files = write_files
+        self.rng = np.random.default_rng(cfg.seed + 1)
+        self._epoch_fn = None
+        self.streaming = False
+
+    def _build_chunk_plans(self, perm):
+        """Per-chunk padded datasets + sweep plans for one membership
+        permutation.  Chunk sizes depend only on (num_rows, num_chunks),
+        so every permutation yields the same padded shapes."""
+        train, cfg = self._train_ds, self.cfg
+        D = cfg.num_attributes
+        n_dev = self.mesh.devices.size
+        n_chunk = self._n_chunk
+        plans, chunks = [], []
+        for rows_idx in np.array_split(perm, self.num_chunks):
             sub = SparseDataset(
                 ids=train.ids[rows_idx], vals=train.vals[rows_idx],
                 target=train.target[rows_idx], num_rows=len(rows_idx),
@@ -525,32 +558,25 @@ class OVBLearner:
                     row_nnz=np.concatenate([sub.row_nnz, np.zeros(pad, np.int32)]))
             chunks.append(sub)
             plans.append(SweepPlan.build(
-                sub.to_coo(), D, meta_groups=meta.attr_group, bins=bins,
-                n_shards=n_dev, col_count=self.col_count,
+                sub.to_coo(), D, meta_groups=self.meta.attr_group,
+                bins=self._bins, n_shards=n_dev, col_count=self.col_count,
                 n_rows_total=n_chunk))
-        self.chunk_sizes = np.array([len(c) for c in chunk_rows], np.int64)
+        return plans, chunks
 
-        # align chunk plans to a common (bin -> L-bucket -> Cmax) structure
-        self.blocks_np = _align_chunk_plans(plans, D, n_dev)
-        self.plans = plans
-
-        # stacked device arrays: [nb, ...]
-        def stack_rows(get):
-            return shard_rows(self.mesh, np.stack([get(c) for c in chunks]),)
-
+    def _put_chunks(self, chunks, blocks_np):
+        """Device-put the stacked [nb, ...] chunk rows + aligned plans."""
+        n_chunk = self._n_chunk
         valid = np.stack([
-            (np.arange(n_chunk) < c.num_rows).astype(np.float32) for c in chunks])
-        self.chunk_row = RowData(
-            ids=jax.device_put(np.stack([c.ids for c in chunks]),
-                               NamedSharding(self.mesh, P(None, DATA_AXIS))),
-            vals=jax.device_put(np.stack([c.vals for c in chunks]),
-                                NamedSharding(self.mesh, P(None, DATA_AXIS))),
-            target=jax.device_put(np.stack([c.target for c in chunks]),
-                                  NamedSharding(self.mesh, P(None, DATA_AXIS))),
-            valid=jax.device_put(valid, NamedSharding(self.mesh, P(None, DATA_AXIS))),
-        )
+            (np.arange(n_chunk) < c.num_rows).astype(np.float32)
+            for c in chunks])
         shd = NamedSharding(self.mesh, P(None, DATA_AXIS))
         rep = NamedSharding(self.mesh, P())
+        self.chunk_row = RowData(
+            ids=jax.device_put(np.stack([c.ids for c in chunks]), shd),
+            vals=jax.device_put(np.stack([c.vals for c in chunks]), shd),
+            target=jax.device_put(np.stack([c.target for c in chunks]), shd),
+            valid=jax.device_put(valid, shd),
+        )
         self.chunk_blocks = tuple(
             tuple(BlockData(
                 rows=jax.device_put(b["rows"], shd),
@@ -561,18 +587,28 @@ class OVBLearner:
                 cnt=jax.device_put(b["cnt"], rep),
                 col_count=jax.device_put(b["col_count"], rep),
             ) for b in bin_list)
-            for bin_list in self.blocks_np)
+            for bin_list in blocks_np)
 
-        self.test_row, self.test_n = build_row_data(self.mesh, test)
-        self.test_target_np = np.asarray(test.target[: test.num_rows])
-        self.attr_group = put_replicated(self.mesh, meta.attr_group)
-        self.num_attr_per_group = put_replicated(
-            self.mesh, meta.num_attr_per_group.astype(np.float32))
-        self.out_dir = out_dir
-        self.write_files = write_files
-        self.rng = np.random.default_rng(cfg.seed + 1)
-        self._epoch_fn = None
-        self.streaming = False
+    def _reshuffle_membership(self):
+        """Re-partition chunk membership with a fresh permutation — the
+        reference's per-epoch disk re-split semantics
+        (fm_learn_vb_online_simultaneous.h:74-101).  The compiled epoch
+        program is reused whenever the new chunk plans fit the existing
+        aligned shape spec; otherwise the spec grows monotonically (union)
+        and the program recompiles once for the larger shapes."""
+        perm = self._member_rng.permutation(self.train_n)
+        self._last_member_perm = perm
+        plans, chunks = self._build_chunk_plans(perm)
+        sizes = np.array([c.num_rows for c in chunks], np.int64)
+        assert (sizes == self.chunk_sizes).all()
+        spec = _plan_shape_spec(plans)
+        if not _spec_fits(spec, self._bin_specs):
+            self._bin_specs = _spec_union(spec, self._bin_specs)
+            self._epoch_fn = None  # shapes grew: one-time recompile
+        blocks_np = _align_chunk_plans(plans, self.cfg.num_attributes,
+                                       self.mesh.devices.size,
+                                       self._bin_specs)
+        self._put_chunks(chunks, blocks_np)
 
     @classmethod
     def from_reader(cls, cfg: FMConfig, reader, test: SparseDataset,
@@ -597,6 +633,13 @@ class OVBLearner:
         import tempfile
         if cfg.factor_block == 0:  # see the stability note in __init__
             cfg = dataclasses.replace(cfg, factor_block=1)
+        if cfg.reshuffle:
+            # re-partitioning an out-of-core set would mean random disk
+            # reads over the whole file every epoch (the reference pays
+            # this by rewriting the train file into batch files per epoch)
+            print("# -reshuffle is not supported for out-of-core streaming; "
+                  "using fixed row-window membership with shuffled order")
+            cfg = dataclasses.replace(cfg, reshuffle=False)
         self = cls.__new__(cls)
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -943,6 +986,11 @@ class OVBLearner:
                 # replay the epoch-order RNG so resumed runs match
                 for _ in range(it0):
                     self.rng.permutation(self.num_chunks)
+                # ... and the membership RNG (one draw per epoch >= 1;
+                # epoch it0 itself draws inside the loop below)
+                if cfg.reshuffle:
+                    for _ in range(max(0, it0 - 1)):
+                        self._member_rng.permutation(self.train_n)
         rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
                                    self.write_files and it0 == 0)
         fe_file = TrajectoryFile("free_energy", cfg, self.method, self.out_dir,
@@ -952,6 +1000,9 @@ class OVBLearner:
         import time as _time
         for it in range(it0, num_iter):
             t0 = _time.perf_counter()
+            if cfg.reshuffle and it > 0:
+                self._reshuffle_membership()
+                epoch_fn = self._build_epoch()  # reused unless shapes grew
             order = jnp.asarray(self.rng.permutation(self.num_chunks)
                                 .astype(np.int32))
             state, fes, m1, m2, nans = epoch_fn(
@@ -1043,11 +1094,40 @@ def _align_plan(plan, bin_specs, D, n_dev, rps):
     return out
 
 
-def _align_chunk_plans(plans, D, n_dev):
+def _spec_fits(new_spec, spec):
+    """True if plans with shape summary ``new_spec`` can be aligned under
+    ``spec`` without loss: every (L, C) bucket must find a same-L spec
+    bucket with capacity >= C (``_align_plan`` matches buckets by exact L
+    and silently drops the rest, so a miss would corrupt the sweep)."""
+    if len(new_spec) > len(spec):
+        return False
+    for b, buckets in enumerate(new_spec):
+        cap = dict(spec[b])
+        for L, C in buckets:
+            if cap.get(L, -1) < C:
+                return False
+    return True
+
+
+def _spec_union(a, b):
+    """Elementwise-max merge of two (bin -> sorted (L, Cmax)) shape specs."""
+    out = []
+    for bi in range(max(len(a), len(b))):
+        m = {}
+        for s in (a, b):
+            if bi < len(s):
+                for L, C in s[bi]:
+                    m[L] = max(m.get(L, 0), C)
+        out.append(sorted(m.items()))
+    return out
+
+
+def _align_chunk_plans(plans, D, n_dev, bin_specs=None):
     """Pad per-chunk SweepPlans to a common (bin, L-bucket, Cmax) structure
     so all chunks share one compiled program; returns nested lists of dicts
     of stacked numpy arrays [nb, ...]."""
-    bin_specs = _plan_shape_spec(plans)
+    if bin_specs is None:
+        bin_specs = _plan_shape_spec(plans)
     rps = plans[0].rows_per_shard
     per_chunk = [_align_plan(p, bin_specs, D, n_dev, rps) for p in plans]
     out = []

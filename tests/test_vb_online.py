@@ -104,3 +104,60 @@ def test_ovb_classification():
                          mesh=make_mesh(2), write_files=False)
     state, history = learner.run(num_iter=8, verbose=False)
     assert history[-1]["accuracy"] > 0.6
+
+
+def test_ovb_reshuffle_membership():
+    """cfg.reshuffle re-partitions chunk membership every epoch (the
+    reference's per-epoch disk re-split, fm_learn_vb_online_simultaneous
+    .h:74-101) while reusing the compiled epoch program, and stays
+    deterministic under the seed."""
+    tr, te, cfg, meta, learner = _setup(num_rows=3000, num_users=30,
+                                        num_items=25, K=4, num_batches=5,
+                                        reshuffle=True)
+    state, history = learner.run(num_iter=6, verbose=False)
+    # membership actually changed: the last drawn permutation is a real
+    # permutation of all rows and differs from the seeded initial one
+    perm = learner._last_member_perm
+    assert np.array_equal(np.sort(perm), np.arange(tr.num_rows))
+    init_perm = np.random.default_rng(cfg.seed).permutation(tr.num_rows)
+    assert not np.array_equal(perm, init_perm)
+    assert history[-1]["rmse"] < history[0]["rmse"]
+
+    # determinism: a second identical run reproduces the trajectory
+    *_x, learner2 = _setup(num_rows=3000, num_users=30, num_items=25, K=4,
+                           num_batches=5, reshuffle=True)
+    s2, h2 = learner2.run(num_iter=6, verbose=False)
+    np.testing.assert_allclose(
+        [h["rmse"] for h in history], [h["rmse"] for h in h2], rtol=1e-6)
+
+    # reshuffling must differ from the fixed-membership trajectory after
+    # epoch 0 (epoch 0 shares the initial membership)
+    *_y, learner3 = _setup(num_rows=3000, num_users=30, num_items=25, K=4,
+                           num_batches=5)
+    s3, h3 = learner3.run(num_iter=6, verbose=False)
+    np.testing.assert_allclose(history[0]["rmse"], h3[0]["rmse"], rtol=1e-6)
+    assert abs(history[-1]["rmse"] - h3[-1]["rmse"]) > 1e-9
+
+
+def test_ovb_reshuffle_resume_matches(tmp_path):
+    """Checkpoint resume replays the membership RNG so a resumed
+    reshuffling run reproduces the uninterrupted one."""
+    from svbfm_tpu.utils.checkpoint import CheckpointManager
+
+    *_a, l_full = _setup(num_rows=1500, num_users=20, num_items=15, K=3,
+                         num_batches=4, reshuffle=True)
+    s_full, h_full = l_full.run(num_iter=6, verbose=False)
+
+    *_b, l_a = _setup(num_rows=1500, num_users=20, num_items=15, K=3,
+                      num_batches=4, reshuffle=True)
+    ck = CheckpointManager(str(tmp_path / "ck"))
+    l_a.run(num_iter=3, verbose=False, ckpt=ck, ckpt_every=3)
+
+    *_c, l_b = _setup(num_rows=1500, num_users=20, num_items=15, K=3,
+                      num_batches=4, reshuffle=True)
+    s_res, h_res = l_b.run(num_iter=6, verbose=False, ckpt=ck, ckpt_every=3)
+    assert len(h_res) == 3 and h_res[0]["iter"] == 3
+    np.testing.assert_allclose(h_res[-1]["rmse"], h_full[-1]["rmse"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_res.mu_v),
+                               np.asarray(s_full.mu_v), rtol=1e-5, atol=1e-7)
