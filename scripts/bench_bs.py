@@ -112,11 +112,15 @@ def main():
                       meta, 0, write_files=False)
     print(f"# build: {time.perf_counter()-t0:.0f} s")
     state = learner.init_state()
+    # native BS runs chunk=1 (MCMCBSLearner._default_chunk: fusing more
+    # iterations around the factor scan measured 4-20x slower); the
+    # materialized-join learners keep a fixed fused chunk of 3
+    chunk = 1 if not materialized else 3
     t0 = time.perf_counter()
-    state, h = learner.run(state, num_iter=3, verbose=False, chunk=3)
+    state, h = learner.run(state, num_iter=3, verbose=False, chunk=chunk)
     print(f"# warmup(compile+3 iters): {time.perf_counter()-t0:.0f} s")
     t0 = time.perf_counter()
-    state, h = learner.run(state, num_iter=6, verbose=False, chunk=3)
+    state, h = learner.run(state, num_iter=6, verbose=False, chunk=chunk)
     wall = time.perf_counter() - t0
     import resource
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20

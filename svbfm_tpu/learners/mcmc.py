@@ -805,6 +805,10 @@ class MCMCLearner:
                                 truncnorm_mean_negative(e))
         return state.replace(e=e - sampled, key=key)
 
+    # default multi-iteration fusion width when run(chunk=None); subclasses
+    # whose draw carries an inner lax.scan (BS) unroll and use a smaller one
+    _default_chunk = 10
+
     def _fused_steps(self, chunk: int):
         if chunk in self._fused_cache:
             return self._fused_cache[chunk]
@@ -872,7 +876,7 @@ class MCMCLearner:
         map_eval = (self.map_eval if cfg.task != TASK_REGRESSION else None)
         if chunk is None:
             # fixed default chunk => one compiled program shape across runs
-            chunk = min(10, num_iter)
+            chunk = min(self._default_chunk, num_iter)
         if map_eval is not None:
             # per-iteration MAP@k ranks the posterior-mean probabilities on
             # host (fm_learn_mcmc_simultaneous.h:270-275); psum_all is only
@@ -905,14 +909,11 @@ class MCMCLearner:
                                    self.write_files and done == 0)
         history = []
         last_saved = it
-        while done < num_iter:
-            n = min(chunk, num_iter - done)
-            fn = self._fused_steps(n)
-            import time as _time
-            t0 = _time.perf_counter()
-            state, psum_all, psum_but5, it_dev, metrics = fn(
-                state, psum_all, psum_but5, it_dev, self.train_row,
-                self.plan_data, self.test_row, *self._extra_args)
+        import time as _time
+
+        def _flush(metrics, n, t0):
+            """Fetch one chunk's metrics pytree and emit its n records."""
+            nonlocal it
             # ONE host transfer for the whole metrics pytree: per-key
             # np.asarray costs a tunnel round-trip each (10+ fetches/chunk)
             metrics = jax.device_get(metrics)
@@ -933,7 +934,8 @@ class MCMCLearner:
                     rmse_file.append(rec["accuracy"])
                     if map_eval is not None:
                         # posterior-mean probabilities at this iteration
-                        # (chunk==1, so psum_all is exactly iter `it`'s sum)
+                        # (chunk==1 and no pipelining in MAP mode, so
+                        # psum_all is exactly iter `it`'s sum)
                         probs = np.asarray(psum_all)[: self.test_n] / (it + 1.0)
                         rec["map"] = map_eval(probs)
                         if verbose:
@@ -947,14 +949,37 @@ class MCMCLearner:
                 stream_row(self, rec)
                 history.append(rec)
                 it += 1
+
+        # Pipeline the per-chunk metrics fetch: dispatch chunk k+1 (async),
+        # THEN device_get chunk k's metrics — the tunnel round-trip of the
+        # fetch overlaps with chunk k+1's device execution.  Disabled when
+        # the host must observe device state between chunks: MAP@k reads
+        # psum_all per iteration, checkpointing snapshots state.
+        pipeline = map_eval is None and ckpt is None
+        pending = None  # (metrics handle, n, t0) of the not-yet-fetched chunk
+        while done < num_iter:
+            n = min(chunk, num_iter - done)
+            fn = self._fused_steps(n)
+            t0 = _time.perf_counter()
+            state, psum_all, psum_but5, it_dev, metrics = fn(
+                state, psum_all, psum_but5, it_dev, self.train_row,
+                self.plan_data, self.test_row, *self._extra_args)
             done += n
-            if ckpt is not None and (it - last_saved >= ckpt_every
-                                     or done >= num_iter):
-                ckpt.save({"state": jax.tree.map(np.asarray, state),
-                           "psum_all": np.asarray(psum_all),
-                           "psum_but5": np.asarray(psum_but5)},
-                          it, {"method": self.method})
-                last_saved = it
+            if pipeline:
+                if pending is not None:
+                    _flush(*pending)
+                pending = (metrics, n, t0)
+            else:
+                _flush(metrics, n, t0)
+                if ckpt is not None and (it - last_saved >= ckpt_every
+                                         or done >= num_iter):
+                    ckpt.save({"state": jax.tree.map(np.asarray, state),
+                               "psum_all": np.asarray(psum_all),
+                               "psum_but5": np.asarray(psum_but5)},
+                              it, {"method": self.method})
+                    last_saved = it
+        if pending is not None:
+            _flush(*pending)
         # posterior-mean predictor state: the reference's predict() returns
         # pred_sum_all/num_iter when sampling (fm_learn_mcmc.h:355-379)
         self._pred_sum_all = np.asarray(psum_all)[: self.test_n]

@@ -907,6 +907,46 @@ class MCMCBSLearner(MCMCLearner):
             out_specs=shd))
         self._fused_cache = {}
 
+    # Both BS factor paths carry a lax.scan over factors, and multi-iteration
+    # fusion measurably LOSES around it on this stack (1M rows / 42M expanded
+    # nnz, sampling MCMC: chunk=1 ~1.0 s/iter; outer-scan chunk=3 4.0 s/iter;
+    # Python-unrolled chunk=3 20.5 s/iter with 2.7x host RSS).  One iteration
+    # per program is the fast configuration.
+    _default_chunk = 1
+
+    def _fused_steps(self, chunk: int):
+        """Python-unrolled multi-iteration program (no outer ``lax.scan``).
+
+        The base class fuses ``chunk`` iterations with an outer ``lax.scan``;
+        nesting the BS factor scan inside it compiles to a 4x slower program
+        (see ``_default_chunk``).  Unrolling keeps the factor scan at top
+        level — and at the default ``chunk=1`` removes the outer loop
+        entirely.  The metrics pytree is stacked to preserve the
+        ``[chunk, ...]`` contract of ``MCMCLearner.run``."""
+        if chunk in self._fused_cache:
+            return self._fused_cache[chunk]
+        shd = P(DATA_AXIS)
+
+        def multi(state, psum_all, psum_but5, it0, row, plan, trow, *extras):
+            carry = (state, psum_all, psum_but5, it0)
+            ms = []
+            for _ in range(chunk):
+                carry, m = self._iter_body(carry, row, plan, trow, it0,
+                                           *extras)
+                ms.append(m)
+            metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *ms)
+            state, psum_all, psum_but5, it = carry
+            return state, psum_all, psum_but5, it, metrics
+
+        fn = jax.jit(jax.shard_map(
+            multi, mesh=self.mesh,
+            in_specs=(self._sspec(), shd, shd, P(), self._rspec(),
+                      self._pspec(), self._rspec(), *self._extra_specs),
+            out_specs=(self._sspec(), shd, shd, P(), P()),
+        ))
+        self._fused_cache[chunk] = fn
+        return fn
+
     def _draw_inprog(self, state, row, plan, *extras):
         (rels,) = extras
         return mcmc_bs_draw_all(state, row, plan, rels, self.cfg, self.rstats,

@@ -269,3 +269,23 @@ def test_bs_nan_counters_surface(fb):
         for fam in NAN_FAMILIES:
             assert rec[f"nan_{fam}"] == 0
             assert rec[f"inf_{fam}"] == 0
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_bs_unrolled_chunk_matches_chunk1(n_dev):
+    """MCMCBSLearner._fused_steps unrolls the multi-iteration loop in Python
+    (the factor lax.scan must stay at top level on this stack); the unrolled
+    chunk=2 program must reproduce the chunk=1 trajectory exactly."""
+    main, rel, items, meta, cfg, d_main = _setup()
+    mesh = make_mesh(n_dev)
+    tr = SparseDataset.from_coo(main, cfg.num_attributes)
+
+    def traj(chunk):
+        l = MCMCBSLearner(cfg, tr, tr, [rel], [items], [items], meta,
+                          d_main, mesh=mesh, write_files=False)
+        _s, h = l.run(num_iter=4, verbose=False, chunk=chunk)
+        return [r["rmse"] for r in h]
+
+    r1, r2 = traj(1), traj(2)
+    assert len(r1) == len(r2) == 4
+    np.testing.assert_allclose(r1, r2, rtol=1e-6, atol=1e-7)
