@@ -809,6 +809,10 @@ class MCMCLearner:
     # whose draw carries an inner lax.scan (BS) unroll and use a smaller one
     _default_chunk = 10
 
+    def _clamp_chunk(self, chunk: int) -> int:
+        """Hook for subclasses whose fused program degrades at chunk>1."""
+        return chunk
+
     def _fused_steps(self, chunk: int):
         if chunk in self._fused_cache:
             return self._fused_cache[chunk]
@@ -868,7 +872,12 @@ class MCMCLearner:
         """Run ``num_iter`` Gibbs/ALS iterations with fused on-device eval
         (posterior-mean prediction accumulators carried across chunks).
         ``ckpt`` (a CheckpointManager) checkpoints the sampler state AND the
-        posterior-mean accumulators, resuming from the latest snapshot."""
+        posterior-mean accumulators, resuming from the latest snapshot.
+
+        When neither MAP@k nor checkpointing is active, the per-chunk metrics
+        fetch is PIPELINED: trajectory-file writes, rlog rows, and verbose
+        output lag one chunk behind dispatch (a mid-run crash still flushes
+        the pending chunk via the finally block below)."""
         cfg = self.cfg
         if state is None:
             state = self.init_state()
@@ -877,6 +886,7 @@ class MCMCLearner:
         if chunk is None:
             # fixed default chunk => one compiled program shape across runs
             chunk = min(self._default_chunk, num_iter)
+        chunk = self._clamp_chunk(chunk)
         if map_eval is not None:
             # per-iteration MAP@k ranks the posterior-mean probabilities on
             # host (fm_learn_mcmc_simultaneous.h:270-275); psum_all is only
@@ -911,13 +921,22 @@ class MCMCLearner:
         last_saved = it
         import time as _time
 
+        last_flush_t = None
+
         def _flush(metrics, n, t0):
             """Fetch one chunk's metrics pytree and emit its n records."""
-            nonlocal it
+            nonlocal it, last_flush_t
             # ONE host transfer for the whole metrics pytree: per-key
             # np.asarray costs a tunnel round-trip each (10+ fetches/chunk)
             metrics = jax.device_get(metrics)
-            iter_wall = (_time.perf_counter() - t0) / n
+            now = _time.perf_counter()
+            # In pipeline mode chunk k+1 was dispatched before this flush, so
+            # now-t0 would span two executions; the interval between flush
+            # completions covers exactly this chunk's execution in steady
+            # state (the device_get above blocks until chunk k finishes).
+            base = t0 if last_flush_t is None else max(t0, last_flush_t)
+            iter_wall = (now - base) / n
+            last_flush_t = now
             for j in range(n):
                 rec = {"iter": it, "time_learn": iter_wall}
                 if not self.plan.conflict_free:
@@ -957,29 +976,34 @@ class MCMCLearner:
         # psum_all per iteration, checkpointing snapshots state.
         pipeline = map_eval is None and ckpt is None
         pending = None  # (metrics handle, n, t0) of the not-yet-fetched chunk
-        while done < num_iter:
-            n = min(chunk, num_iter - done)
-            fn = self._fused_steps(n)
-            t0 = _time.perf_counter()
-            state, psum_all, psum_but5, it_dev, metrics = fn(
-                state, psum_all, psum_but5, it_dev, self.train_row,
-                self.plan_data, self.test_row, *self._extra_args)
-            done += n
-            if pipeline:
-                if pending is not None:
-                    _flush(*pending)
-                pending = (metrics, n, t0)
-            else:
-                _flush(metrics, n, t0)
-                if ckpt is not None and (it - last_saved >= ckpt_every
-                                         or done >= num_iter):
-                    ckpt.save({"state": jax.tree.map(np.asarray, state),
-                               "psum_all": np.asarray(psum_all),
-                               "psum_but5": np.asarray(psum_but5)},
-                              it, {"method": self.method})
-                    last_saved = it
-        if pending is not None:
-            _flush(*pending)
+        try:
+            while done < num_iter:
+                n = min(chunk, num_iter - done)
+                fn = self._fused_steps(n)
+                t0 = _time.perf_counter()
+                state, psum_all, psum_but5, it_dev, metrics = fn(
+                    state, psum_all, psum_but5, it_dev, self.train_row,
+                    self.plan_data, self.test_row, *self._extra_args)
+                done += n
+                if pipeline:
+                    if pending is not None:
+                        _flush(*pending)
+                    pending = (metrics, n, t0)
+                else:
+                    _flush(metrics, n, t0)
+                    if ckpt is not None and (it - last_saved >= ckpt_every
+                                             or done >= num_iter):
+                        ckpt.save({"state": jax.tree.map(np.asarray, state),
+                                   "psum_all": np.asarray(psum_all),
+                                   "psum_but5": np.asarray(psum_but5)},
+                                  it, {"method": self.method})
+                        last_saved = it
+        finally:
+            # pipeline mode lags record emission one chunk behind dispatch;
+            # flush the pending chunk even when the loop raises so its
+            # trajectory/rlog rows aren't silently lost
+            if pending is not None:
+                _flush(*pending)
         # posterior-mean predictor state: the reference's predict() returns
         # pred_sum_all/num_iter when sampling (fm_learn_mcmc.h:355-379)
         self._pred_sum_all = np.asarray(psum_all)[: self.test_n]

@@ -914,6 +914,16 @@ class MCMCBSLearner(MCMCLearner):
     # per program is the fast configuration.
     _default_chunk = 1
 
+    def _clamp_chunk(self, chunk: int) -> int:
+        if chunk > 1:
+            import warnings
+            warnings.warn(
+                "BS learners run chunk=1: multi-iteration fusion around the "
+                "factor scan compiles to a 5-20x slower program on this "
+                "stack (see mcmc_bs._default_chunk); clamping chunk "
+                f"{chunk} -> 1", stacklevel=3)
+        return min(chunk, 1)
+
     def _fused_steps(self, chunk: int):
         """Python-unrolled multi-iteration program (no outer ``lax.scan``).
 
