@@ -114,6 +114,31 @@ def test_mcmc_sampling_resume_matches(tmp_path):
     np.testing.assert_allclose(h_res[-1]["rmse"], h_full[-1]["rmse"], rtol=1e-5)
 
 
+def test_bs_sampling_resume_matches(tmp_path):
+    """Native relational-BS Gibbs checkpoints/resumes like the flat sampler
+    (same MCMCState pytree; relation caches are rebuilt deterministically)."""
+    import sys, os, dataclasses
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_bs import _setup
+    from svbfm_tpu.learners.mcmc_bs import MCMCBSLearner
+    main, rel, items, meta, cfg, d_main = _setup()
+    tr = SparseDataset.from_coo(main, cfg.num_attributes)
+    mk = lambda: MCMCBSLearner(dataclasses.replace(cfg, factor_block=1),
+                               tr, tr, [rel], [items], [items], meta, d_main,
+                               mesh=make_mesh(2), write_files=False)
+    s_full, h_full = mk().run(num_iter=6, verbose=False)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mk().run(num_iter=3, verbose=False, ckpt=mgr, ckpt_every=3)
+    assert _ckpt_files(str(tmp_path / "ck")), "BS run wrote no checkpoint"
+    s_res, h_res = mk().run(num_iter=6, verbose=False, ckpt=mgr,
+                            ckpt_every=100)
+    assert len(h_res) == 3 and h_res[0]["iter"] == 3
+    np.testing.assert_allclose(np.asarray(s_res.v), np.asarray(s_full.v),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(h_res[-1]["rmse"], h_full[-1]["rmse"],
+                               rtol=1e-5)
+
+
 def test_mcmc_final_predictions_posterior_mean():
     """Sampling MCMC final predictions use pred_sum_all/num_iter (the
     reference's predict(), fm_learn_mcmc.h:355-379), not the last sample."""
