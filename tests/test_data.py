@@ -172,3 +172,23 @@ def test_auto_bins_jacobi_fallback_warns(monkeypatch, capsys):
     out2 = capsys.readouterr().out
     assert plan2.conflict_free
     assert "WARNING" not in out2
+
+
+def test_parse_bundled_reference_dataset():
+    """Parse the reference repo's real bundled dataset (SURVEY.md artifacts:
+    data/sa.test_libfm, 100k rows, 2 nnz/row one-hot, max feature id 9991)
+    with both the Python and native-C parsers and cross-check them."""
+    import pytest
+    path = "/root/reference/data/sa.test_libfm"
+    if not os.path.exists(path):
+        pytest.skip("reference bundle not mounted")
+    py = load_libfm_text(path, use_native=False)
+    assert py.num_rows == 100_000
+    assert py.nnz == 200_000
+    assert py.col.max() == 9991
+    assert py.num_features == 9992
+    np.testing.assert_array_equal(py.row_nnz(), 2)
+    nat = load_libfm_text(path, use_native=True)
+    np.testing.assert_array_equal(nat.col, py.col)
+    np.testing.assert_allclose(nat.val, py.val)
+    np.testing.assert_allclose(nat.target, py.target)
