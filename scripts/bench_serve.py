@@ -61,36 +61,51 @@ def main():
     print(f"serve end-to-end: {rows} rows in {wall:.3f} s = {e2e/1e6:.2f}M "
           f"rows/s ({2*e2e/1e6:.0f}M idx/s)  mean={out.mean():.4f}")
 
-    # --- device-resident (chained, one fetch) ---------------------------
+    # --- device-resident (in-jit scan over distinct batches) ------------
+    # Measurement honesty on this stack requires BOTH (a) per-iteration
+    # inputs that differ — the tunnel relay caches bit-identical repeated
+    # calls, and XLA hoists loop-invariant gathers out of a scan — and
+    # (b) a single value fetch at the end.  A lax.scan cycling through 8
+    # distinct pre-loaded batches satisfies both.
     mesh = scorer.mesh
     shd = NamedSharding(mesh, P(DATA_AXIS))
-    # 1M-row calls are the measured sweet spot on v5e: at 4M rows/call the
-    # [N, 2]-minor-dim temps stop fusing away and the per-row cost jumps
-    # ~8x (24.8 ms vs 0.73 ms per call); see CLAUDE.md's padding model
     nb = min(rows, 1 << 20)
-    ids_d = jax.device_put(ids[:nb], shd)
-    vals_d = jax.device_put(vals[:nb], shd)
+    nbatch = min(8, rows // nb) or 1
+    ids_d = jax.device_put(ids[: nbatch * nb].reshape(nbatch, nb, 2), shd_b(mesh))
+    vals_d = jax.device_put(vals[: nbatch * nb].reshape(nbatch, nb, 2), shd_b(mesh))
     fn = scorer._scorer(2)
 
-    @jax.jit
-    def chained(vals_in):
-        s = fn(scorer.w0, scorer.w, scorer.v, ids_d, vals_in)
-        # feed scores back into the next call's values to serialize the
-        # chain (the tunnel relay caches identical repeated calls)
-        return s, vals_in + 1e-30 * s[:, None]
+    iters = max(reps, 200)
 
-    s, vv = chained(vals_d)
-    np.asarray(s)  # warm + sync
+    @jax.jit
+    def scan_serve(carry0):
+        def body(carry, it):
+            b = it % nbatch
+            bi = jax.lax.dynamic_index_in_dim(ids_d, b, keepdims=False)
+            bv = jax.lax.dynamic_index_in_dim(vals_d, b, keepdims=False)
+            s = fn(scorer.w0, scorer.w, scorer.v, bi,
+                   bv + carry * 0)  # serialize on the carry
+            return s.sum() * 1e-30, s.sum()
+        carry, sums = jax.lax.scan(body, carry0,
+                                   jnp.arange(iters, dtype=jnp.int32))
+        return sums
+
+    s = scan_serve(jnp.float32(0)); np.asarray(s[:1])
     t0 = time.perf_counter()
-    for _ in range(reps):
-        s, vv = chained(vv)
-    np.asarray(s)
+    s = scan_serve(jnp.float32(1e-12))
+    np.asarray(s[:1])
     wall = time.perf_counter() - t0
-    dev = nb * reps / wall
-    print(f"serve device-resident: {reps}x{nb} rows in {wall:.3f} s = "
+    dev = nb * iters / wall
+    print(f"serve device-resident: {iters}x{nb} rows in {wall:.3f} s = "
           f"{dev/1e6:.2f}M rows/s ({2*dev/1e6:.0f}M idx/s)")
     print("# baseline: scripts/ref_predict_bench.cpp prints the reference "
           "fm_model::predict rows/s on this host")
+
+
+def shd_b(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from svbfm_tpu.parallel.mesh import DATA_AXIS
+    return NamedSharding(mesh, P(None, DATA_AXIS))
 
 
 if __name__ == "__main__":
