@@ -133,6 +133,72 @@ def _maybe_sample(do_sample: bool, key, mean, sigma_sqr, old, zero_on_bad_sigma=
     return keep_finite(val, old)
 
 
+def exact_block_draws(s0, sh2_all, m_x, v_c, mu_g, lam_g, alpha, zmat):
+    """Draw one bucket's F factors with EXACT sequential conditionals.
+
+    The sequential-draw recurrence
+        new_v_f = base_f + s2_f*alpha*corr_f,
+        corr_f  = sum_{g<f} (v_g - new_v_g) * M[g, f]
+    is, in d := v - new_v, one batched unit-lower-triangular solve:
+        (I + diag(s2*alpha) . M^T_strict-lower) d = v - base.
+    The python F-loop compiles to F dependent [C]-vector steps (~13 ms per
+    bucket at C=6k, F=20); the batched solve runs the SAME recurrence 15x
+    faster.  Non-finite draws (the reference's revert guards,
+    fm_learn_mcmc.h:697-710) would contaminate later factors through the
+    solve, so on any non-finite result the bucket falls back to the
+    sequential loop (predicated: compiled in, executed only when needed).
+
+    s0/sh2_all: [F, C]; m_x: [F, F, C]; v_c/mu_g/lam_g: [C, F];
+    zmat: [F, C] noise table or None (deterministic ALS).
+    Returns (new_v_cf [C, F], nan_count, inf_count)."""
+    F, C = s0.shape
+    dtype = v_c.dtype
+    s2m = 1.0 / (lam_g + alpha * sh2_all.T)  # [C, F]
+    base = -s2m * (alpha * (s0.T - v_c * sh2_all.T) - mu_g * lam_g)
+    if zmat is not None:
+        base = base + jnp.sqrt(s2m) * zmat.T
+    tl = jnp.tril(jnp.ones((F, F), dtype), -1)
+    tmat = ((alpha * s2m)[:, :, None]
+            * jnp.transpose(m_x, (2, 1, 0)) * tl[None])
+    dsol = jax.lax.linalg.triangular_solve(
+        tmat, (v_c - base)[:, :, None], left_side=True,
+        lower=True, unit_diagonal=True)[:, :, 0]
+    val_solve = v_c - dsol  # [C, F]
+    ok = jnp.all(jnp.isfinite(val_solve)) & jnp.all(jnp.isfinite(s2m))
+
+    def _loop_path():
+        corr = jnp.zeros((F, C), dtype)
+        nan_c = jnp.zeros((), jnp.int32)
+        inf_c = jnp.zeros((), jnp.int32)
+        new_cols = []
+        for f in range(F):
+            she = s0[f] - corr[f]
+            sh2 = sh2_all[f]
+            v_cf = v_c[:, f]
+            v_mean = she - v_cf * sh2
+            s2 = 1.0 / (lam_g[:, f] + alpha * sh2)
+            mean = -s2 * (alpha * v_mean - mu_g[:, f] * lam_g[:, f])
+            val = mean + jnp.sqrt(s2) * zmat[f] if zmat is not None else mean
+            val = jnp.where(jnp.isfinite(s2), val, 0.0)
+            nan_c = nan_c + jnp.sum(jnp.isnan(val), dtype=jnp.int32)
+            inf_c = inf_c + jnp.sum(jnp.isinf(val), dtype=jnp.int32)
+            new_v = keep_finite(val, v_cf)
+            # closed-form effect of this draw on later factors' h·e
+            corr = corr + (v_cf - new_v)[None, :] * m_x[f]
+            new_cols.append(new_v)
+        return jnp.stack(new_cols, axis=1), nan_c, inf_c
+
+    def _fast_path():
+        # counts are 0 by the `ok` predicate; computing them from val_solve
+        # keeps the same varying-manual-axes as the loop path under
+        # shard_map (the TP sweep's per-shard values vary over 'feature')
+        return (val_solve,
+                jnp.sum(jnp.isnan(val_solve), dtype=jnp.int32),
+                jnp.sum(jnp.isinf(val_solve), dtype=jnp.int32))
+
+    return jax.lax.cond(ok, _fast_path, _loop_path)
+
+
 def _v_blocked_sweep(e, v, v_mu, v_lambda, alpha, plan, row, cfg, F, key,
                      exact_seq=True, counters=None):
     """Factor-blocked v sweep shared by ALS (do_sample=False) and Gibbs
@@ -255,62 +321,9 @@ def _v_block_pass(e, v_t, mu_t, lam_t, key, plan, row, cfg, alpha,
             if cfg.do_sample:
                 zmat = take_cols(z_d, blk.cols)  # [F, C]
             if exact_seq:
-                # The sequential-draw recurrence
-                #   new_v_f = base_f + s2_f*alpha*corr_f,
-                #   corr_f  = sum_{g<f} (v_g - new_v_g) * M[g, f]
-                # is, in d := v - new_v, one batched unit-lower-triangular
-                # solve: (I + diag(s2*alpha) . M^T_strict-lower) d = v-base.
-                # The python F-loop compiles to F dependent [C]-vector steps
-                # (~13 ms per bucket at C=6k, F=20); the batched solve runs
-                # the SAME recurrence 15x faster.  Non-finite draws (the
-                # reference's revert guards) contaminate later factors in
-                # the solve, so on any non-finite result the bucket falls
-                # back to the sequential loop (predicated: compiled in,
-                # executed only when needed).
-                s2m = 1.0 / (lam_g + alpha * sh2_all.T)  # [C, F]
-                base = -s2m * (alpha * (s0.T - v_c * sh2_all.T)
-                               - mu_g * lam_g)
-                if cfg.do_sample:
-                    base = base + jnp.sqrt(s2m) * zmat.T
-                tl = jnp.tril(jnp.ones((F, F), dtype), -1)
-                tmat = ((alpha * s2m)[:, :, None]
-                        * jnp.transpose(m_x, (2, 1, 0)) * tl[None])
-                dsol = jax.lax.linalg.triangular_solve(
-                    tmat, (v_c - base)[:, :, None], left_side=True,
-                    lower=True, unit_diagonal=True)[:, :, 0]
-                val_solve = v_c - dsol  # [C, F]
-                ok = (jnp.all(jnp.isfinite(val_solve))
-                      & jnp.all(jnp.isfinite(s2m)))
-
-                def _loop_path():
-                    corr = jnp.zeros((F, C), dtype)
-                    nan_c = jnp.zeros((), jnp.int32)
-                    inf_c = jnp.zeros((), jnp.int32)
-                    new_cols = []
-                    for f in range(F):
-                        she = s0[f] - corr[f]
-                        sh2 = sh2_all[f]
-                        v_cf = v_c[:, f]
-                        v_mean = she - v_cf * sh2
-                        s2 = 1.0 / (lam_g[:, f] + alpha * sh2)
-                        mean = -s2 * (alpha * v_mean
-                                      - mu_g[:, f] * lam_g[:, f])
-                        val = (mean + jnp.sqrt(s2) * zmat[f]
-                               if cfg.do_sample else mean)
-                        val = jnp.where(jnp.isfinite(s2), val, 0.0)
-                        nan_c = nan_c + jnp.sum(jnp.isnan(val),
-                                                dtype=jnp.int32)
-                        inf_c = inf_c + jnp.sum(jnp.isinf(val),
-                                                dtype=jnp.int32)
-                        new_v = keep_finite(val, v_cf)
-                        # closed-form effect of this draw on later factors
-                        corr = corr + (v_cf - new_v)[None, :] * m_x[f]
-                        new_cols.append(new_v)
-                    return jnp.stack(new_cols, axis=1), nan_c, inf_c
-
-                z32 = jnp.zeros((), jnp.int32)
-                new_v_cf, nan_c, inf_c = jax.lax.cond(
-                    ok, lambda: (val_solve, z32, z32), _loop_path)
+                new_v_cf, nan_c, inf_c = exact_block_draws(
+                    s0, sh2_all, m_x, v_c, mu_g, lam_g, alpha,
+                    zmat if cfg.do_sample else None)
                 if counters is not None:
                     counters["nan_v"] = counters.get("nan_v", 0) + nan_c
                     counters["inf_v"] = counters.get("inf_v", 0) + inf_c

@@ -240,9 +240,18 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
                 dsig = dsig.at[blk.cols].set(sig_new - sig_c)
                 t_wj = t_wj.at[blk.cols].add(jnp.where(active, cnt, 0.0))
             x_r = row.vals
-            d = take_rows(jnp.stack([dmu, dsig], axis=-1), row.ids)
-            e = e + (x_r * d[..., 0]).sum(-1) * row.valid
-            t = t + (x_r * x_r * d[..., 1]).sum(-1) * row.valid
+            # per-position gathers from the [2, D] delta table: a
+            # [N, P, 2]-shaped gather would tile-pad its size-2 minor dim
+            # 64x (see CLAUDE.md's padding model)
+            dtab = jnp.stack([dmu, dsig], axis=0)  # [2, D]
+            de = jnp.zeros_like(e)
+            dt = jnp.zeros_like(t)
+            for p in range(row.ids.shape[1]):
+                g = jnp.take(dtab, row.ids[:, p], axis=-1)  # [2, N]
+                de = de + x_r[:, p] * g[0]
+                dt = dt + x_r[:, p] * x_r[:, p] * g[1]
+            e = e + de * row.valid
+            t = t + dt * row.valid
 
     # --- v sweeps, factor-blocked (fm_learn_vb_online.h:375-407,560-627) ---
     mu_v, sigma_v_dash = state.mu_v, state.sigma_v_dash

@@ -266,23 +266,10 @@ def tp_v_block_pass(e, v_t, mu_t, lam_t, key, plan: TPPlanData, row: RowData,
             if cfg.do_sample:
                 zmat = take_cols(z_l, colsl)  # [F, C]
             if exact_seq:
-                corr = jnp.zeros((F, C), dtype)
-                new_cols = []
-                for f in range(F):
-                    she = s0[f] - corr[f]
-                    sh2 = sh2_all[f]
-                    v_cf = v_c[:, f]
-                    v_mean = she - v_cf * sh2
-                    s2 = 1.0 / (lam_g[:, f] + alpha * sh2)
-                    mean = -s2 * (alpha * v_mean - mu_g[:, f] * lam_g[:, f])
-                    val = mean + jnp.sqrt(s2) * zmat[f] \
-                        if cfg.do_sample else mean
-                    val = jnp.where(jnp.isfinite(s2), val, 0.0)
-                    new_v = keep_finite(val, v_cf)
-                    if m_x is not None:
-                        corr = corr + (v_cf - new_v)[None, :] * m_x[f]
-                    new_cols.append(new_v)
-                new_v_cf = jnp.stack(new_cols, axis=1)  # [C, F]
+                from svbfm_tpu.learners.mcmc import exact_block_draws
+                new_v_cf, _nan, _inf = exact_block_draws(
+                    s0, sh2_all, m_x, v_c, mu_g, lam_g, alpha,
+                    zmat if cfg.do_sample else None)
             else:
                 she, sh2 = s0.T, sh2_all.T  # [C, F]
                 v_mean = she - v_c * sh2
