@@ -228,3 +228,60 @@ def test_nan_counters_surface_and_count():
         for fam in NAN_FAMILIES:
             assert rec[f"nan_{fam}"] == 0
             assert rec[f"inf_{fam}"] == 0
+
+
+def test_exact_block_draws_solve_matches_loop():
+    """The batched triangular-solve draw equals the sequential correction
+    loop (same recurrence), and non-finite inputs trigger the predicated
+    loop fallback with the reference's per-factor revert semantics."""
+    import jax
+    import jax.numpy as jnp
+    from svbfm_tpu.learners.mcmc import exact_block_draws
+    from svbfm_tpu.learners.base import keep_finite
+
+    rng = np.random.default_rng(0)
+    F, C = 6, 17
+    s0 = jnp.asarray(rng.standard_normal((F, C)).astype(np.float32))
+    sh2 = jnp.abs(jnp.asarray(rng.standard_normal((F, C)).astype(np.float32)))
+    m_x = jnp.asarray(rng.standard_normal((F, F, C)).astype(np.float32))
+    v_c = jnp.asarray(rng.standard_normal((C, F)).astype(np.float32))
+    mu = jnp.asarray(rng.standard_normal((C, F)).astype(np.float32))
+    lam = jnp.abs(jnp.asarray(rng.standard_normal((C, F)).astype(np.float32))) + 0.3
+    zmat = jnp.asarray(rng.standard_normal((F, C)).astype(np.float32))
+    alpha = 1.7
+
+    def loop_ref(lam_g):
+        corr = jnp.zeros((F, C), jnp.float32)
+        cols = []
+        for f in range(F):
+            she = s0[f] - corr[f]
+            v_cf = v_c[:, f]
+            s2 = 1.0 / (lam_g[:, f] + alpha * sh2[f])
+            mean = -s2 * (alpha * (she - v_cf * sh2[f]) - mu[:, f] * lam_g[:, f])
+            val = mean + jnp.sqrt(s2) * zmat[f]
+            val = jnp.where(jnp.isfinite(s2), val, 0.0)
+            new_v = keep_finite(val, v_cf)
+            corr = corr + (v_cf - new_v)[None, :] * m_x[f]
+            cols.append(new_v)
+        return jnp.stack(cols, 1)
+
+    got, nan_c, inf_c = jax.jit(exact_block_draws, static_argnums=())(
+        s0, sh2, m_x, v_c, mu, lam, alpha, zmat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(loop_ref(lam)),
+                               rtol=2e-4, atol=2e-5)
+    assert int(nan_c) == 0 and int(inf_c) == 0
+
+    # non-finite path: a NaN lambda for one column makes s2 NaN for EVERY
+    # factor of that column; the solve result is then non-finite, so the
+    # predicated loop fallback must run and apply the reference guard
+    # (bad sigma^2 -> param zeroed BEFORE counting, fm_learn_mcmc.h:697-710)
+    # while other columns still get the sequential-loop values
+    lam_bad = lam.at[3, :].set(jnp.nan)
+    got_b, nan_b, _ = jax.jit(exact_block_draws)(
+        s0, sh2, m_x, v_c, mu, lam_bad, alpha, zmat)
+    want_b = loop_ref(lam_bad)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               rtol=2e-4, atol=2e-5)
+    assert np.isfinite(np.asarray(got_b)).all()
+    assert (np.asarray(got_b)[3] == 0.0).all()  # bad-sigma column zeroed
+    assert int(nan_b) == 0  # zeroed before counting, like the reference
