@@ -790,17 +790,21 @@ class VBLearner:
                                  self.write_files and done == 0)
         history = []
         last_saved = it
-        while done < num_iter:
-            n = min(chunk, num_iter - done)
-            fn = self._fused_steps(n)
-            import time as _time
-            t0 = _time.perf_counter()
-            state, metrics = fn(state, self.train_row, self.plan_data,
-                                self.test_row)
+        import time as _time
+        last_flush_t = None
+
+        def _flush(metrics, n, t0):
+            """Fetch one chunk's metrics pytree and emit its n records."""
+            nonlocal it, last_flush_t
             # ONE host transfer for the whole metrics pytree: per-key
             # np.asarray costs a tunnel round-trip each (10+ fetches/chunk)
             metrics = jax.device_get(metrics)
-            iter_wall = (_time.perf_counter() - t0) / n
+            now = _time.perf_counter()
+            # pipeline mode: the interval between flush completions covers
+            # exactly this chunk's execution (see MCMCLearner.run)
+            base = t0 if last_flush_t is None else max(t0, last_flush_t)
+            iter_wall = (now - base) / n
+            last_flush_t = now
             for j in range(n):
                 rec = {"iter": it, "time_learn": iter_wall}
                 if not self.plan.conflict_free:
@@ -827,12 +831,36 @@ class VBLearner:
                 stream_row(self, rec)
                 history.append(rec)
                 it += 1
-            done += n
-            if ckpt is not None and (it - last_saved >= ckpt_every
-                                     or done >= num_iter):
-                ckpt.save(jax.tree.map(np.asarray, state), it,
-                          {"method": self.method})
-                last_saved = it
+
+        # Pipeline the per-chunk metrics fetch (dispatch chunk k+1, THEN
+        # fetch chunk k) unless the host must observe state between chunks
+        # for checkpointing.  Biggest win on the chunk=1 tiled path, where
+        # every iteration otherwise pays a serial fetch round-trip.
+        pipeline = ckpt is None
+        pending = None
+        try:
+            while done < num_iter:
+                n = min(chunk, num_iter - done)
+                fn = self._fused_steps(n)
+                t0 = _time.perf_counter()
+                state, metrics = fn(state, self.train_row, self.plan_data,
+                                    self.test_row)
+                done += n
+                if pipeline:
+                    if pending is not None:
+                        _flush(*pending)
+                    pending = (metrics, n, t0)
+                else:
+                    _flush(metrics, n, t0)
+                    if ckpt is not None and (it - last_saved >= ckpt_every
+                                             or done >= num_iter):
+                        ckpt.save(jax.tree.map(np.asarray, state), it,
+                                  {"method": self.method})
+                        last_saved = it
+        finally:
+            # a crash mid-run still flushes the pending chunk's records
+            if pending is not None:
+                _flush(*pending)
         return state, history
 
     def _resample_class_targets(self, state: VBState) -> VBState:
