@@ -1007,22 +1007,21 @@ class OVBLearner:
         epoch_fn = self._build_epoch()
         history = []
         import time as _time
-        for it in range(it0, num_iter):
-            t0 = _time.perf_counter()
-            if cfg.reshuffle and it > 0:
-                self._reshuffle_membership()
-                epoch_fn = self._build_epoch()  # reused unless shapes grew
-            order = jnp.asarray(self.rng.permutation(self.num_chunks)
-                                .astype(np.int32))
-            state, fes, m1, m2, nans = epoch_fn(
-                state, order, self.chunk_row, self.chunk_blocks, self.test_row)
-            # one host transfer
+        last_flush_t = None
+
+        def _flush(st, fes, m1, m2, nans, it, t0):
+            """Fetch one epoch's metrics and emit its record (see
+            MCMCLearner.run for the pipelined-timing scheme)."""
+            nonlocal last_flush_t
             fes, m1, m2, nans = jax.device_get((fes, m1, m2, nans))
+            now = _time.perf_counter()
+            base = t0 if last_flush_t is None else max(t0, last_flush_t)
+            last_flush_t = now
             # reference: free energy appended for first and last chunk
             fe_file.append(-float(fes[0]))
             fe_file.append(-float(fes[-1]))
             rec = {"iter": it, "free_energy": float(fes[-1]),
-                   "time_learn": _time.perf_counter() - t0,
+                   "time_learn": now - base,
                    **{k: int(v) for k, v in nans.items()}}
             if cfg.task == TASK_REGRESSION:
                 rec.update(rmse=float(m1), mae=float(m2))
@@ -1030,16 +1029,43 @@ class OVBLearner:
                 if verbose:
                     print(f"#Iter={it:3d}\tTest={rec['rmse']:.6g}")
             else:
-                self._classification_iter(state, it, m1, m2, rec, rmse_file,
+                self._classification_iter(st, it, m1, m2, rec, rmse_file,
                                           verbose)
             print_nonzero_nans(rec, verbose)
             from svbfm_tpu.utils.rlog_schema import stream_row
-            stream_row(self, rec, state)
+            stream_row(self, rec, st)
             history.append(rec)
-            if ckpt is not None and ((it + 1) % ckpt_every == 0
-                                     or it + 1 >= num_iter):
-                ckpt.save(jax.tree.map(np.asarray, state), it + 1,
-                          {"method": self.method})
+
+        # dispatch epoch k+1 (incl. the host-side reshuffle/plan rebuild,
+        # which then overlaps epoch k's device execution) before fetching
+        # epoch k's metrics; disabled under checkpointing, which snapshots
+        # state between epochs
+        pipeline = ckpt is None
+        pending = None
+        try:
+            for it in range(it0, num_iter):
+                t0 = _time.perf_counter()
+                if cfg.reshuffle and it > 0:
+                    self._reshuffle_membership()
+                    epoch_fn = self._build_epoch()  # reused unless shapes grew
+                order = jnp.asarray(self.rng.permutation(self.num_chunks)
+                                    .astype(np.int32))
+                state, fes, m1, m2, nans = epoch_fn(
+                    state, order, self.chunk_row, self.chunk_blocks,
+                    self.test_row)
+                if pipeline:
+                    if pending is not None:
+                        _flush(*pending)
+                    pending = (state, fes, m1, m2, nans, it, t0)
+                else:
+                    _flush(state, fes, m1, m2, nans, it, t0)
+                    if ckpt is not None and ((it + 1) % ckpt_every == 0
+                                             or it + 1 >= num_iter):
+                        ckpt.save(jax.tree.map(np.asarray, state), it + 1,
+                                  {"method": self.method})
+        finally:
+            if pending is not None:
+                _flush(*pending)
         return state, history
 
 
