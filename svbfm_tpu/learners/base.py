@@ -166,6 +166,22 @@ def plan_specs_for(plan_data: PlanData):
                     unobserved=rep)
 
 
+def named_shardings(mesh, specs):
+    """Map a PartitionSpec pytree to NamedShardings for ``jit(in_shardings=)``.
+
+    Pinning the fused programs' input shardings makes dispatch RESHARD
+    mismatched inputs instead of recompiling: on a 1-device mesh a
+    shard_map output comes back with spec P() even when the out_spec said
+    P('data'), so feeding a run's output state into the next run would
+    otherwise compile (or reload from the compile cache) a second,
+    semantically identical program — measured as a phantom ~4 s on the
+    first post-warmup run() call."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
 # ---------------------------------------------------------------------------
 # Reference-parity numeric helpers
 # ---------------------------------------------------------------------------

@@ -880,13 +880,14 @@ class MCMCLearner:
                 body, (state, psum_all, psum_but5, it0), None, length=chunk)
             return state, psum_all, psum_but5, it, metrics
 
+        in_specs = (self._sspec(), shd, shd, P(), self._rspec(),
+                    self._pspec(), self._rspec(), *self._extra_specs)
+        from svbfm_tpu.learners.base import named_shardings
         fn = jax.jit(jax.shard_map(
             multi, mesh=self.mesh,
-            in_specs=(self._sspec(), shd, shd, P(), self._rspec(),
-                      self._pspec(), self._rspec(),
-                      *self._extra_specs),
+            in_specs=in_specs,
             out_specs=(self._sspec(), shd, shd, P(), P()),
-        ))
+        ), in_shardings=named_shardings(self.mesh, in_specs))
         self._fused_cache[chunk] = fn
         return fn
 
@@ -952,7 +953,6 @@ class MCMCLearner:
         n_pad = self.test_row.target.shape[0]
         psum_all = jax.device_put(jnp.zeros((n_pad,), jnp.float32), shd)
         psum_but5 = jax.device_put(jnp.zeros((n_pad,), jnp.float32), shd)
-        it_dev = jnp.zeros((), jnp.int32)
         it = 0
         done = 0
         if ckpt is not None:
@@ -967,7 +967,6 @@ class MCMCLearner:
                 state = jax.device_put(blob["state"], state_sh)
                 psum_all = jax.device_put(blob["psum_all"], shd)
                 psum_but5 = jax.device_put(blob["psum_but5"], shd)
-                it_dev = jnp.asarray(it, jnp.int32)
                 done = it
         rmse_file = TrajectoryFile("test_rmse", cfg, self.method, self.out_dir,
                                    self.write_files and done == 0)
@@ -1035,9 +1034,15 @@ class MCMCLearner:
                 n = min(chunk, num_iter - done)
                 fn = self._fused_steps(n)
                 t0 = _time.perf_counter()
-                state, psum_all, psum_but5, it_dev, metrics = fn(
-                    state, psum_all, psum_but5, it_dev, self.train_row,
-                    self.plan_data, self.test_row, *self._extra_args)
+                # it0 is rebuilt from the host counter per call: threading
+                # the device scalar back in RETRACES the program (a shard_map
+                # output scalar's aval carries the mesh axes, i32[]({Auto:
+                # ('data',)}) vs a fresh scalar's i32[]({})) — measured as a
+                # phantom ~5 s recompile on the first post-warmup run()
+                state, psum_all, psum_but5, _it_out, metrics = fn(
+                    state, psum_all, psum_but5, jnp.asarray(done, jnp.int32),
+                    self.train_row, self.plan_data, self.test_row,
+                    *self._extra_args)
                 done += n
                 if pipeline:
                     if pending is not None:
