@@ -117,14 +117,20 @@ def main():
     # materialized-join learners keep a fixed fused chunk of 3
     chunk = 1 if not materialized else 3
     t0 = time.perf_counter()
-    state, h = learner.run(state, num_iter=3, verbose=False, chunk=chunk)
-    print(f"# warmup(compile+3 iters): {time.perf_counter()-t0:.0f} s")
-    t0 = time.perf_counter()
     state, h = learner.run(state, num_iter=6, verbose=False, chunk=chunk)
+    # force a real value fetch: through the tunnel, run()'s metrics fetch
+    # can return while deferred device work is still draining, and the
+    # FIRST timed iteration would silently absorb it
+    np.asarray(state.w0)
+    print(f"# warmup(compile+6 iters): {time.perf_counter()-t0:.0f} s")
+    iters = 20
+    t0 = time.perf_counter()
+    state, h = learner.run(state, num_iter=iters, verbose=False, chunk=chunk)
+    np.asarray(state.w0)
     wall = time.perf_counter() - t0
     import resource
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
-    print(f"bs {method} sec/iter: {wall/6:.2f}  rmse={h[-1]['rmse']:.4f}  "
+    print(f"bs {method} sec/iter: {wall/iters:.2f}  rmse={h[-1]['rmse']:.4f}  "
           f"host_rss_gib={rss:.1f}  mode={'materialized' if materialized else 'native'}")
 
 

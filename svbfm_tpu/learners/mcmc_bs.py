@@ -274,7 +274,11 @@ def bs_scores(w0, w, v, ids, vals, rels, rstats, joins, k0=True, k1=True,
 #
 # The coordinate order is: per factor-block B of size F — main bins
 # (bin-major, factor-minor: learners.mcmc._v_block_pass), then each relation
-# in turn with factors OUTER and the relation's conflict-free bins inner.
+# in turn, ALSO bin-major / factor-minor: each relation bin gathers all F
+# factors' per-rho aggregates once and draws the factors with exact
+# sequential conditionals via the batched triangular solve
+# (learners.mcmc.exact_block_draws) — the per-factor correction matrix is
+# derived in _bs_rel_block_sweep.
 # Exactness hinges on one invariant: while relation r is being swept (all F
 # factors), qO_{r,f} = q_f - qB_{r,f}[join] NEVER changes (updating v[f, i]
 # for a relation attr changes q_f and qB_{r,f}[join] by the same amount), so
@@ -328,94 +332,138 @@ def _bs_rel_block_sweep(vblk, e, q, key, rd, rs: RelStatic, b0: int,
     sym = np.zeros((F, F), np.int64)
     sym[iu0, iu1] = np.arange(len(iu0))
     sym[iu1, iu0] = sym[iu0, iu1]
-    wcc = take_rows(wcc_u, jnp.asarray(sym.reshape(-1))).reshape(F, F, R)
-    wc2 = take_rows(wcc_u, jnp.asarray(sym.diagonal().copy()))  # [F, R]
+    sym_flat = jnp.asarray(sym.reshape(-1))
+    diag_idx = jnp.asarray(sym.diagonal().copy())
+    wcc = take_rows(wcc_u, sym_flat).reshape(F, F, R)  # symmetric [F, F, R]
+    wn = rd.wnum
+    P_u = wcc_u.shape[0]
 
     mu_r = jax.lax.dynamic_slice(mu_dk, (off, b0), (Dr, F))  # [Dr, F]
     lam_r = jax.lax.dynamic_slice(lam_dk, (off, b0), (Dr, F))
-    vr_blk = jax.lax.dynamic_slice_in_dim(vblk, off, Dr, axis=1)  # [F, Dr]
+    vr = jax.lax.dynamic_slice_in_dim(vblk, off, Dr, axis=1)  # [F, Dr]
     key, sub = jax.random.split(key)
     zv = (jax.random.normal(sub, (F, Dr), dtype) if cfg.do_sample
           else jnp.zeros((F, Dr), dtype))
 
-    def fstep(carry, xs):
-        # v nan/inf counts ride the carry (trace-safe inside lax.scan)
-        we_run, weq_run, vnan, vinf = carry  # [R], [F, R], [], []
-        local: dict = {}
-        fi, vr_f, qB_f, z_f, mu_f, lam_f, wcc_f, wc_f, wc2_f = xs
-        weq_f = jnp.take(weq_run, fi, axis=0)  # [R]
-        qB_f0 = qB_f
-        dy = jnp.zeros((R,), dtype)
-        for b_i, bin_blocks in enumerate(rd.rplan):
-            if not bin_blocks:
-                continue
-            v_old_r = vr_f
-            dvr = jnp.zeros((Dr,), dtype)
-            for blk in bin_blocks:
-                x = blk.x
-                g = take_cols(
-                    jnp.stack([qB_f, we_run, weq_f, wc_f, wc2_f, rd.wnum]),
-                    blk.rows)  # [6, C, L]
-                qB_g, we_g, weq_g, wc_g, wc2_g, wn_g = (
-                    g[0], g[1], g[2], g[3], g[4], g[5])
-                v_c = _gather(v_old_r, blk.cols)
-                mu_g = _gather(mu_f, blk.cols)
-                lam_g = _gather(lam_f, blk.cols)
-                h = x * (qB_g - x * v_c[:, None])
-                she = (h * we_g + x * weq_g).sum(-1)
-                sh2 = (h * h * wn_g + 2.0 * wc_g * x * h
-                       + x * x * wc2_g).sum(-1)
-                v_mean = she - v_c * sh2
-                s2 = 1.0 / (lam_g + alpha * sh2)
-                mean = -s2 * (alpha * v_mean - mu_g * lam_g)
-                if cfg.do_sample:
-                    val = mean + jnp.sqrt(s2) * _gather(z_f, blk.cols)
-                else:
-                    val = mean
-                val = jnp.where(jnp.isfinite(s2), val, jnp.zeros_like(val))
-                _count_bad(local, "v", val)
-                new_v = keep_finite(val, v_c)
-                vr_f = vr_f.at[blk.cols].set(new_v)
-                dvr = dvr.at[blk.cols].set(v_c - new_v)
-            # relation-row-layout cache patch (reference draw_v_rel final
-            # loop): each rho has <=1 in-bin entry, so h uses the pre-patch
-            # qB of its own row
-            vtab = jnp.stack([v_old_r, dvr], axis=0)
-            for p in rs.patch_pos[b_i]:
-                gp = jnp.take(vtab, rd.rrow_ids[:, p], axis=-1)
-                xp = rd.rrow_vals[:, p]
-                v_e, dv_e = gp[0], gp[1]
-                h_e = xp * (qB_f - xp * v_e)
-                we_run = we_run - dv_e * (h_e * rd.wnum + xp * wc_f)
-                weq_f = weq_f - dv_e * (h_e * wc_f + xp * wc2_f)
-                dy = dy - dv_e * h_e
-                qB_f = qB_f - xp * dv_e
-        dqB = qB_f - qB_f0
-        # closed-form effect of this factor's draws on the OTHER factors'
-        # e-aggregates (weq rows; we_run was patched in-bin already)
-        is_fi = (jnp.arange(F) == fi)[:, None]
-        upd = dy[None] * wc + dqB[None] * wcc_f  # [F, R]
-        weq_run = jnp.where(is_fi, weq_f[None], weq_run + upd)
-        # unobserved relation attrs -> prior
-        s2_d = 1.0 / lam_f
-        un = mu_f + jnp.sqrt(s2_d) * z_f if cfg.do_sample else mu_f
-        un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
-        _count_bad(local, "v", jnp.where(rd.unobserved, un, 0.0))
-        vr_f = jnp.where(rd.unobserved, keep_finite(un, vr_f), vr_f)
-        vnan = vnan + local.get("nan_v", 0)
-        vinf = vinf + local.get("inf_v", 0)
-        return (we_run, weq_run, vnan, vinf), (vr_f, dy, dqB)
+    # Bin-major factor-batched sweep (round 3): instead of the per-factor
+    # scan (F bin passes per relation, each re-gathering every per-rho
+    # aggregate), each bin gathers ALL factors' channels once and draws the
+    # F factors with exact sequential conditionals via the same batched
+    # triangular solve as the main block (learners.mcmc.exact_block_draws).
+    # Effect of factor g's draw of column c on factor f's she at column c
+    # (every rho in Omega_c has its single bin entry AT column c):
+    #   dwe(rho)    = -dv_g (h_g wn + x wc_g)
+    #   dweq_f(rho) = -dv_g (h_g wc_f + x wcc_{g,f})
+    #   => dshe_f(c) = -dv_g * M[g, f, c],
+    #      M[g,f,c] = sum_l h_f h_g wn + h_f x wc_g + x h_g wc_f + x^2 wcc_{g,f}
+    # — the (bin, factor, column) scan order of the main block, pinned by
+    # tests/oracle.py:BSBlockedALSOracle.
+    from svbfm_tpu.learners.mcmc import exact_block_draws
 
-    xs = (jnp.arange(F), vr_blk, qB_blk, zv, mu_r.T, lam_r.T, wcc, wc, wc2)
-    z32 = jnp.zeros((), jnp.int32)
-    (_, _, vnan, vinf), (vr_new, dys, dqBs) = jax.lax.scan(
-        fstep, (we0, weq0, z32, z32), xs)
+    qB0 = qB_blk
+    qB = qB_blk  # [F, R] evolving
+    we = we0  # [R]
+    weq = weq0  # [F, R]
+    dy = jnp.zeros((F, R), dtype)
+    nan_c = jnp.zeros((), jnp.int32)
+    inf_c = jnp.zeros((), jnp.int32)
+    hi = jax.lax.Precision.HIGHEST
+    for b_i, bin_blocks in enumerate(rd.rplan):
+        if not bin_blocks:
+            continue
+        v_old_r = vr
+        dv_r = jnp.zeros((F, Dr), dtype)
+        # per-rho channels gathered ONCE per bucket for ALL F factors
+        big = jnp.concatenate([qB, we[None], weq, wc, wcc_u, wn[None]],
+                              axis=0)  # [3F + 2 + P_u, R]
+        for blk in bin_blocks:
+            C, L = blk.rows.shape
+            v_cf = take_cols(v_old_r, blk.cols)  # [F, C]
+            v_c = v_cf.T  # [C, F]
+            mu_g = take_rows(mu_r, blk.cols)  # [C, F]
+            lam_g = take_rows(lam_r, blk.cols)
+            if L == 1:
+                # one-entry buckets (one-hot fields): squeeze the length
+                # axis — [*, C, 1] temps would tile-pad their minor dim
+                # up to 128x (CLAUDE.md's padding model)
+                g = take_cols(big, blk.rows[:, 0])  # [CH, C]
+                qB_g = g[:F]
+                we_g = g[F]
+                weq_g = g[F + 1: 2 * F + 1]
+                wc_g = g[2 * F + 1: 3 * F + 1]
+                wccu_g = g[3 * F + 1: 3 * F + 1 + P_u]
+                wn_g = g[-1]
+                x = blk.x[:, 0]  # [C]
+                x2 = x * x
+                h = x[None] * (qB_g - x[None] * v_cf)  # [F, C]
+                she0 = h * we_g[None] + x[None] * weq_g
+                t4u = wccu_g * x2[None]  # [P_u, C]
+                sh2 = ((h * h) * wn_g[None] + 2.0 * wc_g * (x[None] * h)
+                       + take_rows(t4u, diag_idx))
+                hw = h * wn_g[None]
+                xw = x[None] * wc_g
+                m_x = (h[None] * hw[:, None] + h[None] * xw[:, None]
+                       + xw[None] * h[:, None]
+                       + take_rows(t4u, sym_flat).reshape(F, F, C))
+            else:
+                g = take_cols(big, blk.rows)  # [CH, C, L]
+                qB_g = g[:F]
+                we_g = g[F]
+                weq_g = g[F + 1: 2 * F + 1]
+                wc_g = g[2 * F + 1: 3 * F + 1]
+                wccu_g = g[3 * F + 1: 3 * F + 1 + P_u]
+                wn_g = g[-1]
+                x = blk.x  # [C, L]
+                x2 = x * x
+                h = x[None] * (qB_g - x[None] * v_cf[:, :, None])  # [F,C,L]
+                she0 = (h * we_g[None] + x[None] * weq_g).sum(-1)  # [F, C]
+                t4u = (wccu_g * x2[None]).sum(-1)  # [P_u, C]
+                sh2 = ((h * h) * wn_g[None]
+                       + 2.0 * wc_g * (x[None] * h)).sum(-1) \
+                    + take_rows(t4u, diag_idx)  # [F, C]
+                # cross-factor matrix (see derivation above); f32 MXU
+                # accumulation, like the main block's M
+                t1 = jnp.einsum("fcl,gcl->gfc", h, h * wn_g[None],
+                                precision=hi)
+                t2 = jnp.einsum("fcl,gcl->gfc", h, x[None] * wc_g,
+                                precision=hi)
+                m_x = (t1 + t2 + jnp.transpose(t2, (1, 0, 2))
+                       + take_rows(t4u, sym_flat).reshape(F, F, C))
+            zmat = take_cols(zv, blk.cols) if cfg.do_sample else None
+            new_v_cf, n1, n2 = exact_block_draws(
+                she0, sh2, m_x, v_c, mu_g, lam_g, alpha, zmat)
+            nan_c = nan_c + n1
+            inf_c = inf_c + n2
+            vr = vr.at[:, blk.cols].set(new_v_cf.T)
+            dv_r = dv_r.at[:, blk.cols].set(v_cf - new_v_cf.T)
+        # relation-row-layout cache patch, all factors at once (each rho
+        # has <=1 in-bin entry, so h uses the pre-patch qB of its own row)
+        vtab = jnp.concatenate([v_old_r, dv_r], axis=0)  # [2F, Dr]
+        for p in rs.patch_pos[b_i]:
+            gp = jnp.take(vtab, rd.rrow_ids[:, p], axis=-1)  # [2F, R]
+            xp = rd.rrow_vals[:, p]
+            v_e, dv_e = gp[:F], gp[F:]
+            h_e = xp[None] * (qB - xp[None] * v_e)  # [F, R]
+            s1 = (dv_e * h_e).sum(0)  # [R] = sum_g dv_g h_g
+            we = we - (s1 * wn + xp * (dv_e * wc).sum(0))
+            weq = weq - (s1[None] * wc
+                         + xp[None] * jnp.einsum("gr,gfr->fr", dv_e, wcc,
+                                                 precision=hi))
+            dy = dy - dv_e * h_e
+            qB = qB - xp[None] * dv_e
+    # unobserved relation attrs -> prior (one z per (factor, attr))
+    s2_d = 1.0 / lam_r.T  # [F, Dr]
+    un = mu_r.T + jnp.sqrt(s2_d) * zv if cfg.do_sample else mu_r.T
+    un = jnp.where(jnp.isfinite(s2_d), un, jnp.zeros_like(un))
+    _count_bad(counters, "v", jnp.where(rd.unobserved[None], un, 0.0))
+    vr = jnp.where(rd.unobserved[None], keep_finite(un, vr), vr)
     if counters is not None:
-        counters["nan_v"] = counters.get("nan_v", 0) + vnan
-        counters["inf_v"] = counters.get("inf_v", 0) + vinf
-    vblk = jax.lax.dynamic_update_slice_in_dim(vblk, vr_new, off, axis=1)
+        counters["nan_v"] = counters.get("nan_v", 0) + nan_c
+        counters["inf_v"] = counters.get("inf_v", 0) + inf_c
+    dqB = qB - qB0
+    vblk = jax.lax.dynamic_update_slice_in_dim(vblk, vr, off, axis=1)
     # resync e and q for the whole block in one gather pass
-    gg = take_cols(jnp.concatenate([dys, dqBs], axis=0), rd.join_tr)  # [2F,N]
+    gg = take_cols(jnp.concatenate([dy, dqB], axis=0), rd.join_tr)  # [2F, N]
     e = e + gg[:F].sum(0) + (qO * gg[F:]).sum(0)
     q = q + gg[F:]
     return vblk, e, q, key

@@ -623,10 +623,11 @@ class BSBlockedALSOracle(ALSOracle):
     """ALSOracle with the factor-blocked BLOCK-STRUCTURE coordinate order
     (learners.mcmc_bs blocked path): per factor-block B of size F —
     main bins outermost with factors inner (matching _v_blocked_sweep),
-    then each relation in turn with factors OUTER and the relation's bins
-    inner.  Every conditional is computed naively from the expanded design
-    matrix, so it independently pins the blocked BS path's aggregate-level
-    cross-factor corrections (we/weq updates via wc/wcc moments)."""
+    then each relation in turn, ALSO bins outer / factors inner (the
+    round-3 bin-major relation sweep).  Every conditional is computed
+    naively from the expanded design matrix, so it independently pins the
+    blocked BS path's aggregate-level cross-factor corrections (we/weq
+    updates via wc/wcc moments and the per-bin triangular solve)."""
 
     def __init__(self, *args, main_bins=None, rel_bins=None, factor_block=0,
                  **kw):
@@ -684,10 +685,12 @@ class BSBlockedALSOracle(ALSOracle):
                 for f in fs:
                     for i in cols_b:
                         self._upd_col(f, i, q)
-            # relations: factors outer, the relation's bins inner
+            # relations: the relation's bins outer, factors inner (within a
+            # bin columns have disjoint row sets, so (f, i) interleaving
+            # across columns is immaterial; factors per column sequential)
             for rbins in self.rel_bins:
-                for f in fs:
-                    for cols_b in rbins:
+                for cols_b in rbins:
+                    for f in fs:
                         for i in cols_b:
                             self._upd_col(f, i, q)
         yhat = fm_scores_dense(self.w0 if self.k0 else 0.0,
