@@ -48,12 +48,17 @@ def main():
     print(f"# rows={tr.num_rows} K={K} factor_block={learner.cfg.factor_block}")
     state = learner.init_state()
     t0 = time.perf_counter()
-    state, h = learner.run(state, num_iter=5, verbose=False, chunk=5)
-    print(f"# warmup(compile+5 iters): {time.perf_counter()-t0:.1f} s")
-    t0 = time.perf_counter()
     state, h = learner.run(state, num_iter=10, verbose=False, chunk=5)
+    # force a real value fetch: deferred device work draining through the
+    # tunnel would otherwise be absorbed by the first timed iteration
+    np.asarray(state.w0)
+    print(f"# warmup(compile+10 iters): {time.perf_counter()-t0:.1f} s")
+    iters = 20
+    t0 = time.perf_counter()
+    state, h = learner.run(state, num_iter=iters, verbose=False, chunk=5)
+    np.asarray(state.w0)
     wall = time.perf_counter() - t0
-    print(f"gibbs sec/iter: {wall/10:.3f}  rmse={h[-1]['rmse']:.4f} "
+    print(f"gibbs sec/iter: {wall/iters:.3f}  rmse={h[-1]['rmse']:.4f} "
           f"alpha={h[-1]['alpha']:.3f}")
 
 
