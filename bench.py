@@ -58,13 +58,18 @@ def main() -> None:
                         SparseDataset.from_coo(te, D), meta, write_files=False)
     state = learner.init_state()
 
-    # warmup: compiles the fused multi-iteration program
+    # warmup: compiles the fused multi-iteration program.  Force a real
+    # value fetch afterwards: on a remotely-attached chip, deferred device
+    # work can drain AFTER run() returns and would be absorbed into the
+    # first timed iteration (see PARITY_RUNS.md round-3 measurement notes)
     state, _ = learner.run(state, num_iter=WARM_ITERS, verbose=False,
                            chunk=WARM_ITERS)
+    np.asarray(state.mu_0)
 
     t0 = time.perf_counter()
     state, history = learner.run(state, num_iter=TIMED_ITERS, verbose=False,
                                  chunk=WARM_ITERS)  # 2 fused calls of 10
+    np.asarray(state.mu_0)
     wall = time.perf_counter() - t0
     sec_per_iter = wall / TIMED_ITERS
 
