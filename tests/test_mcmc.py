@@ -285,3 +285,24 @@ def test_exact_block_draws_solve_matches_loop():
     assert np.isfinite(np.asarray(got_b)).all()
     assert (np.asarray(got_b)[3] == 0.0).all()  # bad-sigma column zeroed
     assert int(nan_b) == 0  # zeroed before counting, like the reference
+
+
+def test_run_compile_signatures_stay_bounded():
+    """Repeated run() calls must not keep retracing the fused program.
+    Threading a shard_map output scalar back in used to do exactly that
+    (its aval carries the mesh axes; round-3 fix rebuilds it0 from the
+    host counter).  Fresh-vs-output array avals still produce a bounded
+    set of benign signatures (<=3); the guard is that the set STOPS
+    GROWING once every input provenance has been seen."""
+    tr, te, cfg, meta, mesh = _setup()
+    l = MCMCLearner(cfg, SparseDataset.from_coo(tr, cfg.num_attributes),
+                    SparseDataset.from_coo(te, cfg.num_attributes), meta,
+                    mesh=mesh, write_files=False)
+    state, _ = l.run(num_iter=4, verbose=False, chunk=2)
+    state, _ = l.run(state, num_iter=4, verbose=False, chunk=2)
+    fn = l._fused_steps(2)
+    n2 = fn._cache_size()
+    state, _ = l.run(state, num_iter=4, verbose=False, chunk=2)
+    state, _ = l.run(state, num_iter=4, verbose=False, chunk=2)
+    assert fn._cache_size() == n2 <= 3, (
+        f"fused program signatures keep growing: {n2} -> {fn._cache_size()}")
