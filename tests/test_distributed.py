@@ -68,12 +68,19 @@ def test_two_process_psum(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
+    # children run with cwd=tmp_path, so the repo root must be on their
+    # PYTHONPATH explicitly; APPEND it so any image-level entries (e.g. the
+    # axon sitecustomize dir) keep precedence
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.pathsep.join(
+        [p for p in (os.environ.get("PYTHONPATH", ""), repo_root) if p])
     procs = []
     for pid in range(2):
         env = dict(os.environ,
                    SVBFM_COORDINATOR=f"127.0.0.1:{port}",
                    SVBFM_NUM_PROCESSES="2",
-                   SVBFM_PROCESS_ID=str(pid))
+                   SVBFM_PROCESS_ID=str(pid),
+                   PYTHONPATH=pypath)
         # the parent conftest forces an 8-device virtual mesh via XLA_FLAGS;
         # keep the children at their natural 1 local device each
         env.pop("XLA_FLAGS", None)
