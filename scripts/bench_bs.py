@@ -12,6 +12,15 @@ Usage: python scripts/bench_bs.py [rows] [K] [user_attrs] [item_attrs]
                                   [method=als|mcmc] [--materialized]
 """
 
+import os as _os
+import sys as _sys
+
+# the image ships no site-packages .pth for the repo: running
+# "python scripts/x.py" puts scripts/ (not the repo root) on
+# sys.path, so bootstrap the package path explicitly
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 

@@ -9,6 +9,15 @@ over chained fused calls with a value fetch per chunk (the axon tunnel can
 otherwise report completion early; see CLAUDE.md).
 """
 
+import os as _os
+import sys as _sys
+
+# the image ships no site-packages .pth for the repo: running
+# "python scripts/x.py" puts scripts/ (not the repo root) on
+# sys.path, so bootstrap the package path explicitly
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 

@@ -18,6 +18,15 @@ directly).  Run that first to print the comparison line.
 Usage: python scripts/bench_serve.py [rows=10000000] [K=20] [reps=10]
 """
 
+import os as _os
+import sys as _sys
+
+# the image ships no site-packages .pth for the repo: running
+# "python scripts/x.py" puts scripts/ (not the repo root) on
+# sys.path, so bootstrap the package path explicitly
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 
