@@ -31,8 +31,27 @@ TEST_ROWS = 1_000_000
 
 def make_split(rows: int, seed: int = 11):
     """Rank-structured one-hot (user, item) ratings, generated directly into
-    the padded [N, 2] row layout (no COO intermediate at 100M rows)."""
+    the padded [N, 2] row layout (no COO intermediate at 100M rows).
+    Caches ids/targets under /tmp so retries skip the generation pass
+    (vals are all 1.0 and never stored)."""
     from svbfm_tpu.data.dataset import SparseDataset
+
+    cache = f"/tmp/vb_big_{rows}_{seed}"
+
+    def from_cache(tag, n):
+        ids = np.load(f"{cache}_{tag}_ids.npy")
+        y = np.load(f"{cache}_{tag}_y.npy")
+        assert ids.shape == (n, 2)
+        D = NUM_USERS + NUM_ITEMS
+        return SparseDataset(
+            ids=ids, vals=np.ones((n, 2), np.float32), target=y,
+            num_rows=n, num_features=D, min_target=float(y.min()),
+            max_target=float(y.max()), row_nnz=np.full(n, 2, np.int32))
+
+    try:
+        return from_cache("tr", rows), from_cache("te", TEST_ROWS)
+    except (FileNotFoundError, AssertionError):
+        pass
 
     rng = np.random.default_rng(seed)
     rank = 8
@@ -62,7 +81,11 @@ def make_split(rows: int, seed: int = 11):
             min_target=float(y.min()), max_target=float(y.max()),
             row_nnz=np.full(n, 2, dtype=np.int32))
 
-    return gen(rows), gen(TEST_ROWS)
+    tr, te = gen(rows), gen(TEST_ROWS)
+    for tag, ds in (("tr", tr), ("te", te)):
+        np.save(f"{cache}_{tag}_ids.npy", ds.ids)
+        np.save(f"{cache}_{tag}_y.npy", ds.target)
+    return tr, te
 
 
 def main() -> None:

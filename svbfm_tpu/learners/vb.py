@@ -713,11 +713,32 @@ class VBLearner:
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
         p = init_vb_params(key, cfg)
-        yhat = self._scores((p["mu_0"], p["mu_w"], p["mu_v"]),
-                            self.train_row.ids, self.train_row.vals)
-        e = self.train_row.target - yhat  # e = y - yhat (VB sign convention)
-        t = self._tterms((p["sigma_0_dash"], p["sigma_w_dash"], p["mu_v"], p["sigma_v_dash"]),
-                         self.train_row.ids, self.train_row.vals)
+        ids, vals = self.train_row.ids, self.train_row.vals
+        n_rows = ids.shape[0]
+        # at huge single-chip N, one full-N forward/T-term pass stacks
+        # multi-GB gather temps on top of the resident row+plan arrays;
+        # compute the init caches in bounded row slices instead (init runs
+        # once — a python loop is fine).  Multi-device meshes keep the
+        # one-shot path: row slicing would reshard across devices.
+        row_chunk = 16 * 1024 * 1024
+        if self.mesh.devices.size == 1 and n_rows > row_chunk:
+            parts_e, parts_t = [], []
+            sc = (p["mu_0"], p["mu_w"], p["mu_v"])
+            tc = (p["sigma_0_dash"], p["sigma_w_dash"], p["mu_v"],
+                  p["sigma_v_dash"])
+            for lo in range(0, n_rows, row_chunk):
+                hi = min(lo + row_chunk, n_rows)
+                parts_e.append(self.train_row.target[lo:hi]
+                               - self._scores(sc, ids[lo:hi], vals[lo:hi]))
+                parts_t.append(self._tterms(tc, ids[lo:hi], vals[lo:hi]))
+                jax.block_until_ready(parts_t[-1])  # bound in-flight temps
+            e = jnp.concatenate(parts_e)
+            t = jnp.concatenate(parts_t)
+        else:
+            yhat = self._scores((p["mu_0"], p["mu_w"], p["mu_v"]), ids, vals)
+            e = self.train_row.target - yhat  # e = y - yhat (VB sign)
+            t = self._tterms((p["sigma_0_dash"], p["sigma_w_dash"],
+                              p["mu_v"], p["sigma_v_dash"]), ids, vals)
         state = VBState(e=e, t=t, **p)
         # place with the exact shardings the jitted step emits, so the first
         # step call doesn't trigger a second (input-sharding) compilation
