@@ -181,6 +181,18 @@ def _patch_channels(F: int, merge_w: bool) -> int:
     return 5 * F + (2 if merge_w else 0)
 
 
+# Above this many PADDED f32 bytes, the per-bin [1+2F, N] stats stack is not
+# materialized; tile_stats gathers from e/q/tq separately instead (3 index
+# passes per tile instead of 1 — only worth it when the stack costs GBs:
+# its sublane padding alone (1+2F -> ceil8) wasted 2.6 GB at N=100M, F=4).
+VB_STATS_STACK_BYTES = 3 * 1024**3
+
+
+def _split_stats_gathers(n_loc: int, F: int) -> bool:
+    ch_pad = -(-(1 + 2 * F) // 8) * 8
+    return ch_pad * n_loc * 4 > VB_STATS_STACK_BYTES
+
+
 def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
                       fmask=None, w_state=None):
     """Coordinate sweep for a *block* of F factors (fm_learn_vb.h:577-644).
@@ -247,7 +259,11 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
         if w_state is not None:
             wdmu_d = jnp.zeros((D,), dtype)
             wdsig_d = jnp.zeros((D,), dtype)
-        eq_t = jnp.concatenate([e[None], q, tq], axis=0)  # [1+2F, N]
+        split_stats = _split_stats_gathers(n_loc, F)
+        # one channel-stacked gather source per bin... unless it would cost
+        # GBs (huge N): then gather e/q/tq separately inside the tiles
+        eq_t = (None if split_stats
+                else jnp.concatenate([e[None], q, tq], axis=0))  # [1+2F, N]
         for blk in bin_blocks:
             C, L = blk.rows[0].shape
             mu_c = take_rows(mu_old_t, blk.cols)  # [C, F]
@@ -256,11 +272,19 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
 
             def tile_stats(rows_t, x_t, mu_ct, sig_ct):
                 # rows_t [Ct, L]; returns per-column stats [Ct, F] (+ sxe)
-                g = jnp.take(eq_t, rows_t.reshape(-1), axis=-1)
-                g = g.reshape(1 + 2 * F, *rows_t.shape)  # [1+2F, Ct, L]
-                e_g = g[0]                        # [Ct, L]
-                q_g = g[1:1 + F]                  # [F, Ct, L]
-                tq_g = g[1 + F:]
+                ridx = rows_t.reshape(-1)
+                if split_stats:
+                    e_g = jnp.take(e, ridx).reshape(rows_t.shape)
+                    q_g = jnp.take(q, ridx, axis=-1).reshape(
+                        F, *rows_t.shape)
+                    tq_g = jnp.take(tq, ridx, axis=-1).reshape(
+                        F, *rows_t.shape)
+                else:
+                    g = jnp.take(eq_t, ridx, axis=-1)
+                    g = g.reshape(1 + 2 * F, *rows_t.shape)  # [1+2F, Ct, L]
+                    e_g = g[0]                        # [Ct, L]
+                    q_g = g[1:1 + F]                  # [F, Ct, L]
+                    tq_g = g[1 + F:]
                 xb = x_t[None]                    # [1, Ct, L]
                 mu_b = mu_ct.T[:, :, None]        # [F, Ct, 1]
                 sig_b = sig_ct.T[:, :, None]
@@ -374,25 +398,39 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
         if rt == 1:
             q, tq, tz, e, t = patch_tile(ids_pn, x_pn, q, tq, tz, e, t)
         else:
-            # lax.scan over row tiles (pad rows have x=0: patches vanish);
-            # see the column-tiling note about nested scans
-            n_pad = -(-n_loc // rt) * rt
+            # fori_loop over row tiles, patching the caches IN PLACE via
+            # dynamic slices: the while-loop carry aliases across
+            # iterations, so peak memory is one tile's temps — a lax.scan
+            # here would materialize full-size xs AND ys copies of every
+            # cache (~10 GB at N=100M, measured).  Pad rows have x=0, so
+            # their patches vanish; tile length is lane-aligned so the
+            # dynamic slices stay tiling-friendly.
+            nt = -(-(-(-n_loc // rt)) // 1024) * 1024  # ceil(N/rt) -> x1024
+            n_pad = nt * rt
             pad = n_pad - n_loc
 
-            def resh(a):  # [..., N] -> [rt, ..., Nt]
+            def padN(a):  # pad the row axis (last) to n_pad
                 if pad:
                     a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-                return jnp.moveaxis(a.reshape(a.shape[:-1] + (rt, n_pad // rt)),
-                                    -2, 0)
+                return a
 
-            xs = tuple(resh(a) for a in (ids_pn, x_pn, q, tq, tz, e, t))
-            _, outs = jax.lax.scan(lambda c, a: (c, patch_tile(*a)), 0, xs)
+            ids_p, x_p = padN(ids_pn), padN(x_pn)
 
-            def unresh(o):  # [rt, ..., Nt] -> [..., N]
-                full = jnp.moveaxis(o, 0, -2).reshape(o.shape[1:-1] + (n_pad,))
-                return full[..., :n_loc]
+            def body(i, carry):
+                lo = i * nt
+                ids_t = jax.lax.dynamic_slice_in_dim(ids_p, lo, nt, -1)
+                x_t = jax.lax.dynamic_slice_in_dim(x_p, lo, nt, -1)
+                tiles = tuple(
+                    jax.lax.dynamic_slice_in_dim(c, lo, nt, -1)
+                    for c in carry)
+                outs = patch_tile(ids_t, x_t, *tiles)
+                return tuple(
+                    jax.lax.dynamic_update_slice_in_dim(c, o, lo, -1)
+                    for c, o in zip(carry, outs))
 
-            q, tq, tz, e, t = (unresh(o) for o in outs)
+            carry = jax.lax.fori_loop(
+                0, rt, body, tuple(padN(a) for a in (q, tq, tz, e, t)))
+            q, tq, tz, e, t = (a[..., :n_loc] for a in carry)
     nans = dict(v=nan_v, w=nan_w)
     if w_state is not None:
         return e, t, mu_t, sig_t, nans, (mu_w, sig_w_dash, sigma_w)

@@ -129,3 +129,18 @@ def test_tiling_predicate_matches_kernel_and_is_exact(monkeypatch):
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(r_tl["free_energy"], r_ref["free_energy"],
                                    rtol=1e-5)
+
+    # split-stats mode (huge-N memory path: per-table e/q/tq gathers
+    # instead of the [1+2F, N] stack) is a pure memory transform too
+    monkeypatch.setattr(vbmod, "VB_STATS_STACK_BYTES", 64)
+    learner3 = VBLearner(cfg, SparseDataset.from_coo(tr, cfg.num_attributes),
+                         SparseDataset.from_coo(te, cfg.num_attributes), meta,
+                         mesh=make_mesh(1), write_files=False)
+    assert vbmod._split_stats_gathers(
+        learner3.train_row.ids.shape[0], cfg.num_factor or 1)
+    _, hist_split = learner3.run(num_iter=3, verbose=False)
+    for r_ref, r_sp in zip(hist_ref, hist_split):
+        np.testing.assert_allclose(r_sp["rmse"], r_ref["rmse"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(r_sp["free_energy"], r_ref["free_energy"],
+                                   rtol=1e-5)
