@@ -412,20 +412,21 @@ def main(argv: Optional[list[str]] = None) -> int:
     else:  # pragma: no cover
         raise SystemExit(f"method '{method}' not wired")
 
-    # initial-V dump (fm_model::init writes v_file.txt, fm_model.h:92-101)
-    try:
-        init_state = learner.init_state()
-        v0 = getattr(init_state, "v", None)
-        if v0 is None:
-            v0 = getattr(init_state, "mu_v", None)
-        if v0 is None and isinstance(init_state, tuple):
-            v0 = init_state[2]
-        if v0 is not None:
-            # feature-sharded learners pad the feature dim; the dump keeps
-            # the libFM-parity [K, D] shape (fm_model.h:92-101)
-            np.savetxt("v_file.txt", np.asarray(v0)[..., :D], fmt="%g")
-    except Exception:
-        pass
+    # Initial-V dump (fm_model::init writes v_file.txt, fm_model.h:92-101).
+    # The state built here is handed to run() below — init happens ONCE per
+    # CLI invocation (at 10M+ rows an init is a multi-minute cache pass),
+    # and a genuine init failure propagates with context instead of being
+    # swallowed and resurfacing later.
+    init_state = learner.init_state()
+    v0 = getattr(init_state, "v", None)
+    if v0 is None:
+        v0 = getattr(init_state, "mu_v", None)
+    if v0 is None and isinstance(init_state, tuple):
+        v0 = init_state[2]
+    if v0 is not None:
+        # feature-sharded learners pad the feature dim; the dump keeps
+        # the libFM-parity [K, D] shape (fm_model.h:92-101)
+        np.savetxt("v_file.txt", np.asarray(v0)[..., :D], fmt="%g")
 
     # Reference-parity RLog schema, streamed per iteration by the learner
     # (fm_learn.h:78-95 base fields + the learner-specific column sets;
@@ -474,7 +475,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         run_kw["ckpt_every"] = cmd.get_int("checkpoint_every", 10)
     from svbfm_tpu.utils.profiling import trace
     with trace(cmd.get_str("profile") or None):
-        state, history = learner.run(num_iter=cfg.num_iter,
+        state, history = learner.run(state=init_state, num_iter=cfg.num_iter,
                                      verbose=verbose, **run_kw)
     rlog.close()
 

@@ -112,9 +112,21 @@ class PlanData:
     unobserved: jax.Array  # bool [D]
 
 
+# Datasets at or above this many rows get their row count padded to a
+# multiple of ROW_QUANTUM per shard, so the large-N row-tiled cache
+# patch (learners/vb.py) can run its pad-free in-place loop (tile length
+# must divide the shard-local row count; 16384 = 1024 lane alignment *
+# 16 max exact tile count).  Small datasets never tile, so they keep
+# their exact (shard-multiple) count.
+ROW_QUANTUM = 16384
+_ROW_QUANTUM_MIN_ROWS = 2_000_000
+
+
 def build_row_data(mesh, ds: SparseDataset):
     """Returns (RowData, num_cases)."""
     n = mesh.devices.size
+    if ds.num_rows >= _ROW_QUANTUM_MIN_ROWS:
+        ds = ds.padded_to(n * ROW_QUANTUM)
     ds = ds.padded_to(n)
     valid = (np.arange(ds.ids.shape[0]) < ds.num_rows).astype(np.float32)
     return RowData(

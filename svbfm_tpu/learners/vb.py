@@ -176,6 +176,17 @@ def _row_tile_count(n_loc: int, CH: int) -> int:
     return max(1, -(-(n_loc * (-(-CH // 8) * 8)) // VB_TILE_BUDGET))
 
 
+def _exact_tile_len(n_loc: int, rt: int):
+    """Smallest tile length nt <= ceil(n_loc/rt) that divides n_loc with a
+    lane-aligned (multiple-of-1024) value, or None if none exists.  Searches
+    tile counts rt..4*rt, so quantum-padded row counts (any power-of-two
+    count up to 16) always succeed."""
+    for r in range(rt, min(4 * rt, n_loc) + 1):
+        if n_loc % r == 0 and (n_loc // r) % 1024 == 0:
+            return n_loc // r
+    return None
+
+
 def _patch_channels(F: int, merge_w: bool) -> int:
     """CH of the channel-stacked patch table [5F(+2), D] built per bin."""
     return 5 * F + (2 if merge_w else 0)
@@ -395,16 +406,38 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
         ids_pn = ids.T  # [P, N] (small sublane pad only)
         x_pn = x_r.T
         rt = _row_tile_count(n_loc, CH)
+        nt_exact = None if rt == 1 else _exact_tile_len(n_loc, rt)
         if rt == 1:
             q, tq, tz, e, t = patch_tile(ids_pn, x_pn, q, tq, tz, e, t)
-        else:
+        elif nt_exact is not None:
             # fori_loop over row tiles, patching the caches IN PLACE via
             # dynamic slices: the while-loop carry aliases across
-            # iterations, so peak memory is one tile's temps — a lax.scan
-            # here would materialize full-size xs AND ys copies of every
-            # cache (~10 GB at N=100M, measured).  Pad rows have x=0, so
-            # their patches vanish; tile length is lane-aligned so the
-            # dynamic slices stay tiling-friendly.
+            # iterations, so peak memory is one tile's temps.  The tile
+            # length divides n_loc exactly (datasets above
+            # _ROW_QUANTUM_MIN_ROWS rows are quantum-padded at build), so
+            # no cache is ever copied: a lax.scan — or any pad+slice —
+            # here would materialize full-size copies of every cache
+            # (~9 GB at N=100M, the round-3 compile OOM).
+            nt = nt_exact
+
+            def body(i, carry):
+                lo = i * nt
+                ids_t = jax.lax.dynamic_slice_in_dim(ids_pn, lo, nt, -1)
+                x_t = jax.lax.dynamic_slice_in_dim(x_pn, lo, nt, -1)
+                tiles = tuple(
+                    jax.lax.dynamic_slice_in_dim(c, lo, nt, -1)
+                    for c in carry)
+                outs = patch_tile(ids_t, x_t, *tiles)
+                return tuple(
+                    jax.lax.dynamic_update_slice_in_dim(c, o, lo, -1)
+                    for c, o in zip(carry, outs))
+
+            q, tq, tz, e, t = jax.lax.fori_loop(
+                0, n_loc // nt, body, (q, tq, tz, e, t))
+        else:
+            # no exact divisor (un-quantized row count): padded fallback,
+            # pays full-cache pad+slice copies — fine at the small n_loc
+            # where this can still occur
             nt = -(-(-(-n_loc // rt)) // 1024) * 1024  # ceil(N/rt) -> x1024
             n_pad = nt * rt
             pad = n_pad - n_loc
@@ -737,12 +770,15 @@ class VBLearner:
 
             return jax.lax.scan(body, state, None, length=chunk)
 
+        # donate the state: e/t ([N] row caches) update in place instead of
+        # holding old+new copies across the call (0.8 GB at N=100M).  On
+        # CPU donation is a no-op (JAX warns and keeps the copy).
         fn = jax.jit(jax.shard_map(
             multi, mesh=self.mesh,
             in_specs=(_state_specs(), _row_specs(), plan_specs_for(self.plan_data),
                       _row_specs()),
             out_specs=(_state_specs(), P()),
-        ))
+        ), donate_argnums=(0,))
         self._fused_cache[chunk] = fn
         return fn
 

@@ -187,11 +187,13 @@ class BatchScorer:
             out[start:start + n] = np.asarray(res)[:n]
 
         for bi, bv, n in self._batches(ids, vals):
+            # drain BEFORE dispatching so at most `inflight` batches are
+            # ever dispatched-but-unfetched (the documented bound)
+            if len(window) >= self.inflight:
+                drain(window.pop(0))
             res = fn(self.w0, self.w, self.v, bi, bv)  # async dispatch
             window.append((res, lo, n))
             lo += n
-            if len(window) > self.inflight:
-                drain(window.pop(0))
         for slot in window:
             drain(slot)
         return out[:N]

@@ -19,3 +19,30 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# Build the native tools (ctypes parser fast path + convert/transpose) once
+# per session so the byte-compat tests in test_tools.py run instead of
+# silently skipping on a fresh checkout.  Tolerates a missing toolchain —
+# the skipif guards then engage as before.
+import shutil
+import subprocess
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def pytest_sessionstart(session):
+    tools = os.path.join(_REPO, "tools")
+    if shutil.which("make") and shutil.which("g++"):
+        subprocess.run(["make", "-C", tools, "-s"], check=False,
+                       capture_output=True, timeout=120)
+    # reference convert (byte-compat oracle): build once into /tmp/refbuild
+    ref = "/root/reference/src/libfm/tools/convert.cpp"
+    out = "/tmp/refbuild/convert"
+    if (not os.path.exists(out) and os.path.exists(ref)
+            and shutil.which("g++")):
+        os.makedirs("/tmp/refbuild", exist_ok=True)
+        subprocess.run(
+            ["g++", "-O2", "-o", out, ref,
+             "-I", "/root/reference/src"],
+            check=False, capture_output=True, timeout=300)

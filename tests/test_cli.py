@@ -229,3 +229,26 @@ def test_cli_feature_shards_rejects_unsupported(data_files, tmp_path):
         _run_cli(["-task", "r", "-train", trf, "-test", tef,
                   "-dim", "1,1,4", "-iter", "2", "-method", "sgd",
                   "-feature_shards", "4"], tmp_path)
+
+
+def test_cli_single_init(data_files, tmp_path, monkeypatch):
+    """The CLI builds the learner state exactly once: the v_file.txt dump
+    state is the state run() trains from (no double init — at 10M+ rows an
+    init is a multi-minute cache pass)."""
+    from svbfm_tpu.learners.vb import VBLearner
+
+    calls = []
+    orig = VBLearner.init_state
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(VBLearner, "init_state", counting)
+    d, trf, tef, gf = data_files
+    rc = _run_cli(["-task", "r", "-train", trf, "-test", tef,
+                   "-dim", "1,1,4", "-method", "vb", "-iter", "2"],
+                  str(tmp_path))
+    assert rc == 0
+    assert len(calls) == 1
+    assert (tmp_path / "v_file.txt").exists()

@@ -86,3 +86,42 @@ def test_scorer_row_pad_and_empty():
     # rows wider than row_pad are rejected
     with pytest.raises(ValueError):
         s.score_rows(np.zeros((4, 9), np.int32), np.zeros((4, 9), np.float32))
+
+
+def test_scorer_inflight_bound(monkeypatch):
+    """At most `inflight` batches are dispatched-but-unfetched at any time
+    (the docstring's bound; drain happens BEFORE each dispatch)."""
+    sc = BatchScorer(0.0, np.zeros(10, np.float32),
+                     np.zeros((2, 10), np.float32), batch_rows=4,
+                     inflight=2, mesh=make_mesh(1))
+    events = []
+    counter = [0]
+
+    class FakeRes:
+        def __init__(self, i, n):
+            self.i, self.n = i, n
+
+        def __array__(self, dtype=None, copy=None):
+            events.append(("drain", self.i))
+            return np.zeros(self.n, np.float32)
+
+    def fake_scorer(P_row):
+        def fn(w0, w, v, bi, bv):
+            i = counter[0]
+            counter[0] += 1
+            events.append(("dispatch", i))
+            return FakeRes(i, bi.shape[0])
+        return fn
+
+    monkeypatch.setattr(sc, "_scorer", fake_scorer)
+    ids = np.zeros((20, 1), np.int32)
+    vals = np.ones((20, 1), np.float32)
+    out = sc.score_rows(ids, vals)
+    assert out.shape == (20,)
+    outstanding = 0
+    for ev, _ in events:
+        outstanding += 1 if ev == "dispatch" else -1
+        assert 0 <= outstanding <= 2
+    # drains happen in dispatch order
+    drains = [i for ev, i in events if ev == "drain"]
+    assert drains == sorted(drains) and len(drains) == counter[0] == 5

@@ -144,3 +144,39 @@ def test_tiling_predicate_matches_kernel_and_is_exact(monkeypatch):
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(r_sp["free_energy"], r_ref["free_energy"],
                                    rtol=1e-5)
+
+
+def test_quantum_padded_exact_tile_path(monkeypatch):
+    """The pad-free in-place row-tiled patch (tile length divides n_loc —
+    the path large quantum-padded datasets take, which avoided the 100M
+    compile OOM) must reproduce the untiled trajectory exactly."""
+    from svbfm_tpu.learners import base as basemod
+    from svbfm_tpu.learners import vb as vbmod
+
+    coo, tr, te, cfg, learner, meta = _setup(num_rows=3000, num_users=40,
+                                             num_items=30, K=4)
+    assert learner._needs_row_tiling() is False
+    _, hist_ref = learner.run(num_iter=3, verbose=False)
+
+    # quantum-pad the 3000-row dataset to 16384 rows and shrink the budget
+    # so the row tiling engages with an exact divisor tile (nt=4096, rt=4)
+    monkeypatch.setattr(basemod, "_ROW_QUANTUM_MIN_ROWS", 1000)
+    monkeypatch.setattr(vbmod, "VB_TILE_BUDGET", 98304)
+    learner2 = VBLearner(cfg, SparseDataset.from_coo(tr, cfg.num_attributes),
+                         SparseDataset.from_coo(te, cfg.num_attributes), meta,
+                         mesh=make_mesh(1), write_files=False)
+    n_loc = learner2.train_row.ids.shape[0]
+    assert n_loc == basemod.ROW_QUANTUM  # quantum padding engaged
+    F = cfg.num_factor
+    merge_w = cfg.k1 and cfg.factor_block == 0 and F > 0
+    rt = vbmod._row_tile_count(n_loc, vbmod._patch_channels(F, merge_w))
+    assert rt > 1
+    assert vbmod._exact_tile_len(n_loc, rt) is not None  # pad-free path
+    assert learner2._needs_row_tiling() is True
+
+    _, hist_tiled = learner2.run(num_iter=3, verbose=False)
+    for r_ref, r_tl in zip(hist_ref, hist_tiled):
+        np.testing.assert_allclose(r_tl["rmse"], r_ref["rmse"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(r_tl["free_energy"], r_ref["free_energy"],
+                                   rtol=1e-5)
