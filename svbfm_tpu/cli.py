@@ -368,7 +368,9 @@ def main(argv: Optional[list[str]] = None) -> int:
             from svbfm_tpu.learners.mcmc import ALSLearner, MCMCLearner
             cls = ALSLearner if als else MCMCLearner
             learner = cls(cfg, tr_ds, te_ds, meta, bins=bins,
-                          w_lambda_init=w_lambda, v_lambda_init=v_lambda)
+                          w_lambda_init=w_lambda, v_lambda_init=v_lambda,
+                          num_eval_cases=cmd.get_int("num_eval_cases", 0)
+                          or None)
     elif method == "vb":
         if tp_mesh is not None:
             from svbfm_tpu.parallel.tp_vb import TPVBLearner
@@ -376,7 +378,9 @@ def main(argv: Optional[list[str]] = None) -> int:
                                   bins=bins, write_files=True)
         else:
             from svbfm_tpu.learners.vb import VBLearner
-            learner = VBLearner(cfg, tr_ds, te_ds, meta, bins=bins)
+            learner = VBLearner(cfg, tr_ds, te_ds, meta, bins=bins,
+                                num_eval_cases=cmd.get_int("num_eval_cases",
+                                                           0) or None)
     elif method == "vb_online":
         from svbfm_tpu.learners.vb_online import OVBLearner
         if defer_train:

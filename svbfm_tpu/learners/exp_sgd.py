@@ -243,10 +243,12 @@ class ExpSGDLearner:
             t0 = _time.perf_counter()
             state, rmse = self._step(state, self.train_row, self.plan_data,
                                      self.test_row)
-            rmse = float(rmse)
+            t1 = _time.perf_counter()
+            rmse = float(rmse)  # blocking fetch = host-visible eval segment
+            now = _time.perf_counter()
             rmse_file.append(rmse)
-            rec = {"iter": it, "rmse": rmse,
-                   "time_learn": _time.perf_counter() - t0}
+            rec = {"iter": it, "rmse": rmse, "time_pred": now - t1,
+                   "time_learn": now - t0}
             from svbfm_tpu.utils.rlog_schema import stream_row
             stream_row(self, rec)
             history.append(rec)

@@ -696,12 +696,17 @@ class MCMCLearner:
     #: optional base.MapEval — enables per-iteration MAP@k for task 'c'
     #: (fm_learn_mcmc_simultaneous.h:270-275)
     map_eval = None
+    #: class defaults so subclasses with bespoke __init__s (TP/BS) keep the
+    #: full-test-set eval; MCMCLearner.__init__ overrides per instance
+    _rest_valid = None
+    _eval_n = None
 
     def __init__(self, cfg: FMConfig, train: SparseDataset, test: SparseDataset,
                  meta: Optional[DataMetaInfo] = None, mesh=None,
                  bins: str = "auto", out_dir: str = ".", write_files: bool = True,
                  w_lambda_init: Optional[np.ndarray] = None,
-                 v_lambda_init: Optional[np.ndarray] = None):
+                 v_lambda_init: Optional[np.ndarray] = None,
+                 num_eval_cases: Optional[int] = None):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         n = self.mesh.devices.size
@@ -712,6 +717,25 @@ class MCMCLearner:
                                     meta_groups=meta.attr_group, bins=bins, n_shards=n)
         self.train_row, self.train_n = build_row_data(self.mesh, train)
         self.test_row, self.test_n = build_row_data(self.mesh, test)
+        # Per-iteration eval over the first num_eval_cases test rows, with
+        # the held-back remainder evaluated separately as rmse_test2_*
+        # (fm_learn_mcmc_simultaneous.h:240-256; the reference computes the
+        # test2 values but its log lines are commented out — we stream them
+        # as a documented superset).  The primary eval mask REPLACES the
+        # test valid mask, exactly like the reference's _evaluate(0, nec).
+        self._rest_valid = None
+        self._eval_n = self.test_n
+        if num_eval_cases is not None and 0 < num_eval_cases < self.test_n:
+            from svbfm_tpu.parallel.mesh import shard_rows
+            n_pad = self.test_row.ids.shape[0]
+            idx = np.arange(n_pad)
+            emask = (idx < num_eval_cases).astype(np.float32)
+            rest = ((idx >= num_eval_cases) & (idx < self.test_n)).astype(
+                np.float32)
+            self.test_row = self.test_row.replace(
+                valid=shard_rows(self.mesh, emask))
+            self._rest_valid = shard_rows(self.mesh, rest)
+            self._eval_n = int(num_eval_cases)
         if cfg.factor_block == 0 and cfg.num_factor > 1:
             # auto-pick the factor block so the channel-stacked sweep's
             # temps fit HBM (falls to 1 = factor-sequential when nothing fits)
@@ -781,15 +805,18 @@ class MCMCLearner:
         return fm_scores(state.w0, state.w, state.v, trow.ids, trow.vals,
                          k0=cfg.k0, k1=cfg.k1)
 
-    def _iter_body(self, carry, row, plan, trow, it0, *extras):
+    def _iter_body(self, carry, row, plan, trow, it0, *extras, rest=None):
         """One Gibbs draw + in-program eval with running posterior-mean
         accumulators (pred_sum_all / all_but5,
-        fm_learn_mcmc_simultaneous.h:152-302).  Runs inside shard_map."""
+        fm_learn_mcmc_simultaneous.h:152-302).  Runs inside shard_map.
+        With ``rest`` (the held-back test mask when num_eval_cases < test
+        rows), also evaluates rmse_test2_this/all over the remainder
+        (fm_learn_mcmc_simultaneous.h:252-258)."""
         cfg = self.cfg
         state, psum_all, psum_but5, it = carry
         state, nans = self._draw_inprog(state, row, plan, *extras)
         scores = self._test_scores_inprog(state, trow, *extras)
-        nt = jnp.asarray(float(self.test_n), scores.dtype)
+        nt = jnp.asarray(float(self._eval_n or self.test_n), scores.dtype)
         itf = it.astype(scores.dtype)
         if cfg.task == TASK_REGRESSION:
             p = jnp.clip(scores, cfg.min_target, cfg.max_target)
@@ -813,6 +840,16 @@ class MCMCLearner:
                            alpha=state.alpha,
                            w_mu=state.w_mu, w_lambda=state.w_lambda,
                            v_mu=state.v_mu, v_lambda=state.v_lambda)
+            if rest is not None:
+                n2 = jnp.asarray(float(self.test_n - self._eval_n),
+                                 scores.dtype)
+                e2 = (p - trow.target) * rest
+                metrics["rmse_test2_this"] = jnp.sqrt(
+                    _psum(jnp.sum(e2 * e2)) / n2)
+                pm2 = (jnp.clip(psum_all / (itf + 1.0), cfg.min_target,
+                                cfg.max_target) - trow.target) * rest
+                metrics["rmse_test2_all"] = jnp.sqrt(
+                    _psum(jnp.sum(pm2 * pm2)) / n2)
         else:
             prob = ref_cdf_gaussian(scores)
             psum_all = psum_all + prob
@@ -871,17 +908,23 @@ class MCMCLearner:
         if chunk in self._fused_cache:
             return self._fused_cache[chunk]
         shd = P(DATA_AXIS)
+        has_rest = self._rest_valid is not None
 
         def multi(state, psum_all, psum_but5, it0, row, plan, trow, *extras):
+            rest = extras[0] if has_rest else None
+            draws = extras[1:] if has_rest else extras
+
             def body(carry, _):
-                return self._iter_body(carry, row, plan, trow, it0, *extras)
+                return self._iter_body(carry, row, plan, trow, it0, *draws,
+                                       rest=rest)
 
             (state, psum_all, psum_but5, it), metrics = jax.lax.scan(
                 body, (state, psum_all, psum_but5, it0), None, length=chunk)
             return state, psum_all, psum_but5, it, metrics
 
         in_specs = (self._sspec(), shd, shd, P(), self._rspec(),
-                    self._pspec(), self._rspec(), *self._extra_specs)
+                    self._pspec(), self._rspec(),
+                    *((shd,) if has_rest else ()), *self._extra_specs)
         from svbfm_tpu.learners.base import named_shardings
         fn = jax.jit(jax.shard_map(
             multi, mesh=self.mesh,
@@ -981,8 +1024,13 @@ class MCMCLearner:
             nonlocal it, last_flush_t
             # ONE host transfer for the whole metrics pytree: per-key
             # np.asarray costs a tunnel round-trip each (10+ fetches/chunk)
+            t_fetch = _time.perf_counter()
             metrics = jax.device_get(metrics)
             now = _time.perf_counter()
+            # The test eval runs INSIDE the fused program; the host-visible
+            # predict/eval segment is this blocking fetch (the reference's
+            # time_pred brackets predict+evaluate, fm_learn.h:92-95)
+            time_pred = (now - t_fetch) / n
             # In pipeline mode chunk k+1 was dispatched before this flush, so
             # now-t0 would span two executions; the interval between flush
             # completions covers exactly this chunk's execution in steady
@@ -991,7 +1039,8 @@ class MCMCLearner:
             iter_wall = (now - base) / n
             last_flush_t = now
             for j in range(n):
-                rec = {"iter": it, "time_learn": iter_wall}
+                rec = {"iter": it, "time_learn": iter_wall,
+                       "time_pred": time_pred}
                 if not self.plan.conflict_free:
                     rec["conflict_free"] = False  # Jacobi-bin approximation
                 # vector metrics ([G]/[G,K] hyperparameter traces) stay arrays
@@ -1039,10 +1088,12 @@ class MCMCLearner:
                 # output scalar's aval carries the mesh axes, i32[]({Auto:
                 # ('data',)}) vs a fresh scalar's i32[]({})) — measured as a
                 # phantom ~5 s recompile on the first post-warmup run()
+                rest = (() if self._rest_valid is None
+                        else (self._rest_valid,))
                 state, psum_all, psum_but5, _it_out, metrics = fn(
                     state, psum_all, psum_but5, jnp.asarray(done, jnp.int32),
                     self.train_row, self.plan_data, self.test_row,
-                    *self._extra_args)
+                    *rest, *self._extra_args)
                 done += n
                 if pipeline:
                     if pending is not None:

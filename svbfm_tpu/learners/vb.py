@@ -109,6 +109,12 @@ def _psum(x):
     return jax.lax.psum(x, DATA_AXIS)
 
 
+def _pvary(x):
+    """Type a shard-local constant as varying over the data axis (fori/scan
+    carries must type-match their body outputs under shard_map)."""
+    return jax.lax.pcast(x, (DATA_AXIS,), to="varying")
+
+
 from svbfm_tpu.ops.segment import take_rows
 
 
@@ -250,17 +256,45 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
 
     # --- q/tq/tz build as [F, N] (one flat gather per row position) ---
     ptab_t = jnp.concatenate([mu_t.T, sig_t.T], axis=0)  # [2F, D]
-    q = jnp.zeros((F, n_loc), dtype)
-    tq = jnp.zeros((F, n_loc), dtype)
-    tz = jnp.zeros((F, n_loc), dtype)
-    for p in range(P_row):
-        g = jnp.take(ptab_t, ids[:, p], axis=-1)  # [2F, N]
-        xp = x_r[:, p][None]
-        x2p = xp * xp
-        mug, sigg = g[:F], g[F:]
-        q = q + mug * xp
-        tq = tq + sigg * x2p
-        tz = tz + mug * mug * x2p
+
+    def build_qt(ids_t, x_t):
+        # ids_t/x_t [Nt, P] -> q/tq/tz [F, Nt]
+        nt_ = ids_t.shape[0]
+        q = jnp.zeros((F, nt_), dtype)
+        tq = jnp.zeros((F, nt_), dtype)
+        tz = jnp.zeros((F, nt_), dtype)
+        for p in range(P_row):
+            g = jnp.take(ptab_t, ids_t[:, p], axis=-1)  # [2F, Nt]
+            xp = x_t[:, p][None]
+            x2p = xp * xp
+            mug, sigg = g[:F], g[F:]
+            q = q + mug * xp
+            tq = tq + sigg * x2p
+            tz = tz + mug * mug * x2p
+        return q, tq, tz
+
+    # at huge N the per-position [2F, N] gather temps cost GBs (2x2.98 GB
+    # at N=100M F=4, measured); bound them with the same pad-free in-place
+    # row tiling as the cache patch below
+    rtb = _row_tile_count(n_loc, 2 * F)
+    ntb = None if rtb == 1 else _exact_tile_len(n_loc, rtb)
+    if ntb is None:
+        q, tq, tz = build_qt(ids, x_r)
+    else:
+        def bbody(i, carry):
+            lo = i * ntb
+            outs = build_qt(
+                jax.lax.dynamic_slice_in_dim(ids, lo, ntb, 0),
+                jax.lax.dynamic_slice_in_dim(x_r, lo, ntb, 0))
+            return tuple(
+                jax.lax.dynamic_update_slice_in_dim(c, o, lo, -1)
+                for c, o in zip(carry, outs))
+
+        # zeros must be typed varying over the data axis to match the
+        # body outputs (carry types must agree under shard_map)
+        q, tq, tz = jax.lax.fori_loop(
+            0, n_loc // ntb, bbody,
+            tuple(_pvary(jnp.zeros((F, n_loc), dtype)) for _ in range(3)))
 
     for bin_blocks in plan.blocks:
         mu_old_t, sig_old_t = mu_t, sig_t  # pre-bin snapshots (functional)
@@ -313,24 +347,38 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
                 v_mean, v_sig, sxe = tile_stats(blk.rows[0], blk.x[0],
                                                 mu_c, sig_c)
             else:
-                # lax.scan over column tiles: sequentializes the gather
-                # temps.  NOTE: nested scans miscompile inside an outer
-                # iteration scan on TPU, so large problems must run with
-                # run(chunk=1) (handled automatically by the learner).
-                C_pad = -(-C // ct) * ct
-                pad = C_pad - C
-                rows_p = jnp.pad(blk.rows[0], ((0, pad), (0, 0)))
-                x_p = jnp.pad(blk.x[0], ((0, pad), (0, 0)))
-                mu_p = jnp.pad(mu_c, ((0, pad), (0, 0)))
-                sig_p = jnp.pad(sig_c, ((0, pad), (0, 0)))
-                Ct = C_pad // ct
-                xs = (rows_p.reshape(ct, Ct, L), x_p.reshape(ct, Ct, L),
-                      mu_p.reshape(ct, Ct, F), sig_p.reshape(ct, Ct, F))
-                _, outs = jax.lax.scan(
-                    lambda c, a: (c, tile_stats(*a)), 0, xs)
-                v_mean = outs[0].reshape(C_pad, F)[:C]
-                v_sig = outs[1].reshape(C_pad, F)[:C]
-                sxe = outs[2].reshape(C_pad)[:C]
+                # fori_loop over overlap-clamped column tiles writing into
+                # preallocated [C, F] stats buffers: no pad, no reshape —
+                # the old pad+reshape scan xs COPIED every plan array
+                # (~2 GB of rows/x copies at Netflix shape, measured).
+                # The last tile may overlap the previous one; stats are
+                # pure functions of pre-bin state, so recomputing a column
+                # and rewriting the same value is harmless.  NOTE: tiled
+                # sweeps still require run(chunk=1) (nested loop inside the
+                # fused iteration scan miscompiles on TPU).
+                Ct = min(C, -(-(-(-C // ct)) // 8) * 8)  # ceil8 tile
+                nct = -(-C // Ct)
+                rows_a, x_a = blk.rows[0], blk.x[0]
+                lo_max = C - Ct
+
+                def cbody(i, acc):
+                    vm_a, vs_a, sx_a = acc
+                    lo = jnp.minimum(i * Ct, lo_max)
+                    vm, vs, sx = tile_stats(
+                        jax.lax.dynamic_slice_in_dim(rows_a, lo, Ct, 0),
+                        jax.lax.dynamic_slice_in_dim(x_a, lo, Ct, 0),
+                        jax.lax.dynamic_slice_in_dim(mu_c, lo, Ct, 0),
+                        jax.lax.dynamic_slice_in_dim(sig_c, lo, Ct, 0))
+                    return (
+                        jax.lax.dynamic_update_slice_in_dim(vm_a, vm, lo, 0),
+                        jax.lax.dynamic_update_slice_in_dim(vs_a, vs, lo, 0),
+                        jax.lax.dynamic_update_slice_in_dim(sx_a, sx, lo, 0))
+
+                v_mean, v_sig, sxe = jax.lax.fori_loop(
+                    0, nct, cbody,
+                    (_pvary(jnp.zeros((C, F), dtype)),
+                     _pvary(jnp.zeros((C, F), dtype)),
+                     _pvary(jnp.zeros((C,), dtype))))
             v_mean = _psum(v_mean)
             v_sig = _psum(v_sig)
 
@@ -650,7 +698,8 @@ class VBLearner:
 
     def __init__(self, cfg: FMConfig, train: SparseDataset, test: SparseDataset,
                  meta: Optional[DataMetaInfo] = None, mesh=None,
-                 bins: str = "auto", out_dir: str = ".", write_files: bool = True):
+                 bins: str = "auto", out_dir: str = ".", write_files: bool = True,
+                 num_eval_cases: Optional[int] = None):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         n = self.mesh.devices.size
@@ -662,6 +711,19 @@ class VBLearner:
                                     meta_groups=meta.attr_group, bins=bins, n_shards=n)
         self.train_row, self.train_n = build_row_data(self.mesh, train)
         self.test_row, self.test_n = build_row_data(self.mesh, test)
+        # per-iteration eval subsetting + held-back remainder (rmse_test2_*)
+        # — fm_learn_vb_simultaneous.h:220-232 (see MCMCLearner.__init__)
+        self._rest_valid = None
+        self._eval_n = self.test_n
+        if num_eval_cases is not None and 0 < num_eval_cases < self.test_n:
+            from svbfm_tpu.parallel.mesh import shard_rows
+            idx = np.arange(self.test_row.ids.shape[0])
+            self.test_row = self.test_row.replace(valid=shard_rows(
+                self.mesh, (idx < num_eval_cases).astype(np.float32)))
+            self._rest_valid = shard_rows(self.mesh, (
+                (idx >= num_eval_cases) & (idx < self.test_n)
+            ).astype(np.float32))
+            self._eval_n = int(num_eval_cases)
         self.plan_data = build_plan_data(self.mesh, self.plan, meta)
         self.train_target_np = np.asarray(train.target[: train.num_rows])
         self.test_target_np = np.asarray(test.target[: test.num_rows])
@@ -707,15 +769,17 @@ class VBLearner:
         self._tterms = jax.jit(t_fn)
         self._fused_cache = {}
 
-    def _iter_body(self, state, row, plan, trow):
+    def _iter_body(self, state, row, plan, trow, rest=None):
         """One sweep + in-program test eval (and classification resampling).
-        Runs inside shard_map; returns (state, per-iteration metrics)."""
+        Runs inside shard_map; returns (state, per-iteration metrics).
+        ``rest`` is the held-back test mask when num_eval_cases < test rows
+        (fm_learn_vb_simultaneous.h:227-232)."""
         cfg = self.cfg
         state, fe, nans = vb_update_all(state, row, plan, cfg,
                                         float(self.train_n))
         scores = fm_scores(state.mu_0, state.mu_w, state.mu_v,
                            trow.ids, trow.vals, k0=cfg.k0, k1=cfg.k1)
-        nt = jnp.asarray(float(self.test_n), scores.dtype)
+        nt = jnp.asarray(float(self._eval_n), scores.dtype)
         if cfg.task == TASK_REGRESSION:
             p = jnp.clip(scores, cfg.min_target, cfg.max_target)
             err = (p - trow.target) * trow.valid
@@ -729,6 +793,12 @@ class VBLearner:
                            train_rmse=train_rmse, alpha=state.alpha,
                            sigma_w=state.sigma_w, sigma_v=state.sigma_v,
                            **nans)
+            if rest is not None:
+                n2 = jnp.asarray(float(self.test_n - self._eval_n),
+                                 scores.dtype)
+                e2 = (p - trow.target) * rest
+                metrics["rmse_test2_this"] = jnp.sqrt(
+                    _psum(jnp.sum(e2 * e2)) / n2)
         else:
             prob = ref_cdf_gaussian(scores)
             yt = trow.target
@@ -757,16 +827,20 @@ class VBLearner:
         if chunk in self._fused_cache:
             return self._fused_cache[chunk]
 
-        def multi(state, row, plan, trow):
+        has_rest = self._rest_valid is not None
+
+        def multi(state, row, plan, trow, *rest):
+            rest = rest[0] if has_rest else None
             if chunk == 1:
                 # direct call: the sweep's internal tile scans (large-N
                 # memory bounding) miscompile when nested inside an outer
                 # iteration scan on TPU
-                state, metrics = self._iter_body(state, row, plan, trow)
+                state, metrics = self._iter_body(state, row, plan, trow,
+                                                 rest=rest)
                 return state, jax.tree.map(lambda a: a[None], metrics)
 
             def body(st, _):
-                return self._iter_body(st, row, plan, trow)
+                return self._iter_body(st, row, plan, trow, rest=rest)
 
             return jax.lax.scan(body, state, None, length=chunk)
 
@@ -776,7 +850,7 @@ class VBLearner:
         fn = jax.jit(jax.shard_map(
             multi, mesh=self.mesh,
             in_specs=(_state_specs(), _row_specs(), plan_specs_for(self.plan_data),
-                      _row_specs()),
+                      _row_specs(), *((P(DATA_AXIS),) if has_rest else ())),
             out_specs=(_state_specs(), P()),
         ), donate_argnums=(0,))
         self._fused_cache[chunk] = fn
@@ -893,15 +967,21 @@ class VBLearner:
             nonlocal it, last_flush_t
             # ONE host transfer for the whole metrics pytree: per-key
             # np.asarray costs a tunnel round-trip each (10+ fetches/chunk)
+            t_fetch = _time.perf_counter()
             metrics = jax.device_get(metrics)
             now = _time.perf_counter()
+            # The test eval runs INSIDE the fused program; the host-visible
+            # predict/eval segment is this blocking fetch (the reference's
+            # time_pred brackets predict+evaluate, fm_learn.h:92-95)
+            time_pred = (now - t_fetch) / n
             # pipeline mode: the interval between flush completions covers
             # exactly this chunk's execution (see MCMCLearner.run)
             base = t0 if last_flush_t is None else max(t0, last_flush_t)
             iter_wall = (now - base) / n
             last_flush_t = now
             for j in range(n):
-                rec = {"iter": it, "time_learn": iter_wall}
+                rec = {"iter": it, "time_learn": iter_wall,
+                       "time_pred": time_pred}
                 if not self.plan.conflict_free:
                     rec["conflict_free"] = False  # Jacobi-bin approximation
                 # vector metrics ([G]/[G,K] precision traces) stay arrays
@@ -938,8 +1018,10 @@ class VBLearner:
                 n = min(chunk, num_iter - done)
                 fn = self._fused_steps(n)
                 t0 = _time.perf_counter()
+                rest = (() if self._rest_valid is None
+                        else (self._rest_valid,))
                 state, metrics = fn(state, self.train_row, self.plan_data,
-                                    self.test_row)
+                                    self.test_row, *rest)
                 done += n
                 if pipeline:
                     if pending is not None:

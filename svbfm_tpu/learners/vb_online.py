@@ -825,23 +825,34 @@ class OVBLearner:
         eval_fn = self._build_eval()
         history = []
         import time as _time
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
-        prefetch = ThreadPoolExecutor(1)  # one in-flight chunk
+        # bounded multi-chunk prefetch: 2 reader threads keep up to
+        # `depth` chunks in flight (disk read + plan align + H2D transfer
+        # overlap the device sweeps — transfer is the dominant cost of the
+        # 150M-row runs, and a single-slot window left the pipe idle
+        # whenever one read ran long; see PARITY_RUNS.md)
+        depth = min(3, self.num_chunks)
+        prefetch = ThreadPoolExecutor(2)
         for it in range(it0, num_iter):
             t0 = _time.perf_counter()
             order = self.rng.permutation(self.num_chunks)
             fes = []
-            # double buffering: while the device runs chunk i's fused sweep
-            # (step_fn dispatch is async), the prefetch thread reads chunk
-            # i+1 from disk and starts its host->device transfer — the
-            # dominant cost of the 150M-row runs (see PARITY_RUNS.md)
-            fut = prefetch.submit(self._chunk_device_data, int(order[0]))
+            futs = deque()
+            submitted = 0
+
+            def top_up():
+                nonlocal submitted
+                while submitted < len(order) and len(futs) < depth:
+                    futs.append(prefetch.submit(
+                        self._chunk_device_data, int(order[submitted])))
+                    submitted += 1
+
+            top_up()
             nans_acc = []
             for idx, ci in enumerate(order):
-                row, blocks = fut.result()
-                if idx + 1 < len(order):
-                    fut = prefetch.submit(self._chunk_device_data,
-                                          int(order[idx + 1]))
+                row, blocks = futs.popleft().result()
+                top_up()
                 state, fe, nans = step_fn(
                     state, row, blocks,
                     jnp.asarray(float(self.chunk_sizes[ci]), jnp.float32))
@@ -849,8 +860,10 @@ class OVBLearner:
                 nans_acc.append(nans)
             # one host transfer for all chunk free-energies + eval metrics
             # (per-value np.asarray costs a tunnel round-trip each)
+            t_pred = _time.perf_counter()
             m1, m2 = eval_fn(state, self.test_row)
             fes, m1, m2, nans_acc = jax.device_get((fes, m1, m2, nans_acc))
+            now = _time.perf_counter()
             fes = [float(f) for f in fes]
             nans = {k: int(sum(d[k] for d in nans_acc))
                     for k in nans_acc[0]} if nans_acc else {}
@@ -858,7 +871,8 @@ class OVBLearner:
             fe_file.append(-fes[0])
             fe_file.append(-fes[-1])
             rec = {"iter": it, "free_energy": fes[-1],
-                   "time_learn": _time.perf_counter() - t0, **nans}
+                   "time_pred": now - t_pred,
+                   "time_learn": now - t0, **nans}
             if cfg.task == TASK_REGRESSION:
                 rec.update(rmse=float(m1), mae=float(m2))
                 rmse_file.append(rec["rmse"])
@@ -1013,6 +1027,7 @@ class OVBLearner:
             """Fetch one epoch's metrics and emit its record (see
             MCMCLearner.run for the pipelined-timing scheme)."""
             nonlocal last_flush_t
+            t_pred = _time.perf_counter()
             fes, m1, m2, nans = jax.device_get((fes, m1, m2, nans))
             now = _time.perf_counter()
             base = t0 if last_flush_t is None else max(t0, last_flush_t)
@@ -1021,6 +1036,7 @@ class OVBLearner:
             fe_file.append(-float(fes[0]))
             fe_file.append(-float(fes[-1]))
             rec = {"iter": it, "free_energy": float(fes[-1]),
+                   "time_pred": now - t_pred,
                    "time_learn": now - base,
                    **{k: int(v) for k, v in nans.items()}}
             if cfg.task == TASK_REGRESSION:

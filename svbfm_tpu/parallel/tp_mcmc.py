@@ -429,6 +429,10 @@ class TPMCMCLearner(MCMCLearner):
             v_lambda_init if v_lambda_init is not None
             else np.full((cfg.num_groups, cfg.num_factor), cfg.regv,
                          np.float32))
+        from svbfm_tpu.parallel.tp_vb import check_tp_memory_budget
+        check_tp_memory_budget(self.plan_data,
+                               self.train_row.ids.shape[0] // Sd,
+                               cfg.num_factor, type(self).__name__)
         self._build_jits()
 
     def _put_row(self, ds: SparseDataset, Sd: int):

@@ -45,7 +45,8 @@ from svbfm_tpu.learners.base import (
     TrajectoryFile,
     keep_finite,
 )
-from svbfm_tpu.learners.vb import init_vb_params
+from svbfm_tpu.learners.vb import (_col_tile_count, _patch_channels,
+                                   _row_tile_count, init_vb_params)
 from svbfm_tpu.ops.segment import take_rows
 from svbfm_tpu.parallel.mesh import DATA_AXIS, FEATURE_AXIS
 
@@ -151,6 +152,36 @@ def _build_tp_plan(mesh, plan: SweepPlan, meta: DataMetaInfo, D: int):
         num_attr_per_group=jax.device_put(
             meta.num_attr_per_group.astype(np.float32), rep),
     ), D_loc
+
+
+def check_tp_memory_budget(plan_data: TPPlanData, n_loc: int, K: int,
+                           learner: str) -> None:
+    """Fail LOUDLY when a TP sweep's unbounded temps would need the
+    replicated learners' memory tiling (which the TP kernels do not
+    implement: their [1+2K, N]/[3K+2, N] channel stacks and per-bin
+    [1+2K, C, L] gathers are single-shot).  Uses the SAME budget helpers
+    as learners/vb.py so the threshold cannot drift from the tiling
+    decisions.  Raises RuntimeError with remedies instead of letting the
+    compile (or the device) blow HBM silently."""
+    problems = []
+    F = max(K, 1)
+    if _row_tile_count(n_loc, _patch_channels(F, True)) > 1:
+        problems.append(
+            f"row caches: [~{5 * F + 2}, {n_loc}] per-bin patch stack")
+    for bin_blocks in plan_data.blocks:
+        for blk in bin_blocks:
+            C, L = blk.rows.shape[-2:]
+            if _col_tile_count(C, L, F) > 1:
+                problems.append(f"column block [{C}, {L}] stats gather")
+                break
+    if problems:
+        raise RuntimeError(
+            f"{learner}: problem too large for the feature-sharded (TP) "
+            f"sweep's untiled temps ({'; '.join(problems)} exceed the "
+            "per-device budget). Remedies: shard the data axis more (n_loc "
+            f"= {n_loc} rows/device), reduce factor count K={K}, or use "
+            "the replicated learner, whose memory-tiled chunk=1 path "
+            "handles large N on one device.")
 
 
 def _plan_specs(plan_data: TPPlanData):
@@ -523,6 +554,9 @@ class TPVBLearner:
 
         self.train_row, self.train_n = put_row(train)
         self.test_row, self.test_n = put_row(test)
+        check_tp_memory_budget(self.plan_data,
+                               self.train_row.ids.shape[0] // Sd,
+                               cfg.num_factor, type(self).__name__)
         self.test_target_np = np.asarray(test.target[: test.num_rows])
         self.out_dir = out_dir
         self.write_files = write_files
@@ -637,8 +671,10 @@ class TPVBLearner:
             t0 = _time.perf_counter()
             state, metrics = self._step(state, self.train_row,
                                         self.plan_data, self.test_row)
+            t1 = _time.perf_counter()
             metrics = jax.device_get(metrics)
-            rec = {"iter": it, "time_learn": _time.perf_counter() - t0,
+            now = _time.perf_counter()
+            rec = {"iter": it, "time_learn": now - t0, "time_pred": now - t1,
                    "free_energy": float(metrics["free_energy"]),
                    "rmse": float(metrics["rmse"])}
             fe_file.append(-rec["free_energy"])

@@ -17,8 +17,12 @@ one TSV row per iteration:
 Values are a documented superset of the reference where our state carries
 real numbers the reference leaves NaN (e.g. VB's precision columns — the
 reference registers wlambda/vlambda for VB but never logs them; we stream
-sigma_w/sigma_v).  time_learn2/time_learn4 stay NaN (they are CPU-clock
-duplicates of time_learn in the reference).
+sigma_w/sigma_v.  Likewise time_pred: the reference only logs it from
+``fm_learn.h::evaluate`` (:179,:259), which the MCMC/VB loops never call;
+we stream the host-visible eval segment — the blocking metrics fetch of
+the fused program whose test eval runs on device — for every learner).
+time_learn2/time_learn4 stay NaN (they are CPU-clock duplicates of
+time_learn in the reference).
 """
 
 from __future__ import annotations
@@ -56,6 +60,14 @@ def register_for(learner, rlog) -> None:
             rlog.add_field("rmse_mcmc_all")
             if m in _BUT5:
                 rlog.add_field("rmse_mcmc_all_but5")
+            # held-back remainder eval when num_eval_cases < test rows
+            # (documented superset: the reference computes these but its
+            # log lines are commented out, fm_learn_mcmc_simultaneous.h:
+            # 252-258, fm_learn_vb_simultaneous.h:227-232)
+            if getattr(learner, "_rest_valid", None) is not None:
+                rlog.add_field("rmse_mcmc_test2_this")
+                if m == "mcmc":
+                    rlog.add_field("rmse_mcmc_test2_all")
         else:
             rlog.add_field("acc_mcmc_this")
             rlog.add_field("acc_mcmc_all")
@@ -128,6 +140,8 @@ def stream_row(learner, rec, state=None) -> None:
         _log_if(rlog, "alpha", alpha)
         if cfg.task == TASK_REGRESSION:
             _log_if(rlog, "rmse_mcmc_this", rec.get("rmse_this", rec.get("rmse")))
+            _log_if(rlog, "rmse_mcmc_test2_this", rec.get("rmse_test2_this"))
+            _log_if(rlog, "rmse_mcmc_test2_all", rec.get("rmse_test2_all"))
             if m == "mcmc":  # posterior-mean accumulators exist
                 _log_if(rlog, "rmse_mcmc_all", rec.get("rmse"))
                 _log_if(rlog, "rmse_mcmc_all_but5", rec.get("rmse_all_but5"))

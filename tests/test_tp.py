@@ -113,3 +113,24 @@ def test_tp_no_k0_k1():
         pad_feature_dim(v, d_pad))
     out = np.asarray(scorer(w0_s, w_s, v_s, jnp.asarray(ids), jnp.asarray(vals)))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_budget_check_fails_loudly(monkeypatch):
+    """Shapes whose sweep temps would need the replicated learners' memory
+    tiling (which TP does not implement) must fail at CONSTRUCTION with an
+    informative error, not blow HBM at compile/run time."""
+    import pytest
+    from svbfm_tpu.learners import vb as vbmod
+    from svbfm_tpu.parallel.mesh import make_mesh2d
+    from svbfm_tpu.parallel.tp_mcmc import TPMCMCLearner
+    from svbfm_tpu.parallel.tp_vb import TPVBLearner
+
+    cfg, tr_ds, te_ds, meta, D = _tp_train_setup()
+    # shrink the shared budget so this small problem trips the same
+    # predicate a 100M-row problem would trip at the real budget
+    monkeypatch.setattr(vbmod, "VB_TILE_BUDGET", 1024)
+    mesh = make_mesh2d(n_data=2, n_feature=4)
+    with pytest.raises(RuntimeError, match="replicated learner"):
+        TPVBLearner(cfg, tr_ds, te_ds, meta, mesh=mesh)
+    with pytest.raises(RuntimeError, match="replicated learner"):
+        TPMCMCLearner(cfg, tr_ds, te_ds, meta, mesh=mesh)
