@@ -198,6 +198,17 @@ def _patch_channels(F: int, merge_w: bool) -> int:
     return 5 * F + (2 if merge_w else 0)
 
 
+# One fused sweep beyond this many work units (shard-local rows x factor
+# blocks — index passes, the dominant cost) is split into per-stage
+# programs (w sweep / one per factor block / tail+eval): single XLA
+# executions that run much past ~40 s kill the remotely-attached TPU
+# worker ("TPU worker process crashed"; 49M-row fb=4 at 34 s/iter runs,
+# the same rows at fb=1 (~4x longer program) and every 100M-row variant
+# crash regardless of memory headroom).  Staging also caps peak HBM at
+# one block's temps.  Calibration: 49M x 5 blocks = 2.45e8 units = 34 s.
+VB_STAGE_UNITS = 2.6e8
+
+
 # Above this many PADDED f32 bytes, the per-bin [1+2F, N] stats stack is not
 # materialized; tile_stats gathers from e/q/tq separately instead (3 index
 # passes per tile instead of 1 — only worth it when the stack costs GBs:
@@ -629,7 +640,28 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
         mu_v = mu_vp.reshape(K_pad, -1)[:K]
         sigma_v_dash = sig_vp.reshape(K_pad, -1)[:K]
 
-        sv_d = sv_dk.T  # [K, D]
+    new_state, fe, nan_alpha = vb_finalize(
+        e, t, mu_0, sigma_0_dash, mu_w, sigma_w_dash, mu_v, sigma_v_dash,
+        state, row, plan, cfg, N)
+    # NaN/Inf revert counters — the reference prints "#nans in ..." per
+    # iteration (fm_learn_vb_simultaneous.h:89-118)
+    nans = dict(nan_w=nan_w, nan_v=nan_v, nan_alpha=nan_alpha)
+    return new_state, fe, nans
+
+
+def vb_finalize(e, t, mu_0, sigma_0_dash, mu_w, sigma_w_dash, mu_v,
+                sigma_v_dash, state, row, plan, cfg, N):
+    """Sweep tail shared by the fused and staged paths: unobserved-column
+    fixups, hyperparameter updates (fm_learn_vb.h:446-498), and free
+    energy (:646-681; constant 2*3.14 kept).  ``state`` carries the
+    PRE-SWEEP hyperparameters (sigma_w/sigma_v/alpha), exactly what the
+    reference's update_all reads."""
+    dtype = mu_w.dtype
+    K = cfg.num_factor
+    alpha = state.alpha
+
+    if K > 0:
+        sv_d = take_rows(state.sigma_v, plan.attr_group).T  # [K, D]
         sigma_v_dash = jnp.where(plan.unobserved[None, :], 1.0 / sv_d, sigma_v_dash)
         mu_v = jnp.where(plan.unobserved[None, :], jnp.zeros((), dtype), mu_v)
 
@@ -666,10 +698,7 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
         mu_0=mu_0, sigma_0_dash=sigma_0_dash, mu_w=mu_w, sigma_w_dash=sigma_w_dash,
         mu_v=mu_v, sigma_v_dash=sigma_v_dash, alpha=alpha, sigma_0=sigma_0,
         sigma_w=sigma_w, sigma_v=sigma_v, e=e, t=t)
-    # NaN/Inf revert counters — the reference prints "#nans in ..." per
-    # iteration (fm_learn_vb_simultaneous.h:89-118)
-    nans = dict(nan_w=nan_w, nan_v=nan_v, nan_alpha=nan_alpha)
-    return new_state, fe, nans
+    return new_state, fe, nan_alpha
 
 
 # ---------------------------------------------------------------------------
@@ -777,6 +806,12 @@ class VBLearner:
         cfg = self.cfg
         state, fe, nans = vb_update_all(state, row, plan, cfg,
                                         float(self.train_n))
+        return self._eval_and_resample(state, fe, nans, row, trow, rest)
+
+    def _eval_and_resample(self, state, fe, nans, row, trow, rest=None):
+        """In-program test eval + classification e-resampling (the tail of
+        _iter_body, shared with the staged huge-N path)."""
+        cfg = self.cfg
         scores = fm_scores(state.mu_0, state.mu_w, state.mu_v,
                            trow.ids, trow.vals, k0=cfg.k0, k1=cfg.k1)
         nt = jnp.asarray(float(self._eval_n), scores.dtype)
@@ -855,6 +890,134 @@ class VBLearner:
         ), donate_argnums=(0,))
         self._fused_cache[chunk] = fn
         return fn
+
+    # ---- staged huge-N path ----------------------------------------------
+
+    def _stage_layout(self):
+        """(F, nb) of the staged factor blocking (requires factor_block>=1)."""
+        K = self.cfg.num_factor
+        F = min(max(self.cfg.factor_block, 1), K) if K else 0
+        nb = -(-K // F) if K else 0
+        return F, nb
+
+    def _staged_mode(self) -> bool:
+        """True when one fused sweep would exceed the safe single-execution
+        duration (see VB_STAGE_UNITS) and the sweep is splittable."""
+        import os
+        ov = os.environ.get("SVBFM_VB_STAGED")
+        if ov in ("0", "1"):
+            return ov == "1"
+        cfg = self.cfg
+        if cfg.num_factor <= 0 or cfg.factor_block < 1:
+            return False
+        _F, nb = self._stage_layout()
+        n_loc = self.train_row.ids.shape[0] // self.mesh.devices.size
+        return n_loc * nb > VB_STAGE_UNITS
+
+    def _staged_programs(self):
+        """Three donated shard_map programs splitting one sweep iteration:
+        W (w0 + linear-term sweep), B (one factor block, block index as a
+        traced scalar — ONE compile for all blocks), C (fixups + hypers +
+        free energy + eval + resampling).  Semantics identical to the
+        fused path at factor_block>=1 (CPU equivalence test)."""
+        if getattr(self, "_staged_cache", None) is not None:
+            return self._staged_cache
+        cfg = self.cfg
+        K = cfg.num_factor
+        F, _nb = self._stage_layout()
+        num_cases = float(self.train_n)
+        has_rest = self._rest_valid is not None
+
+        def w_stage(state, row, plan):
+            dtype = state.mu_w.dtype
+            e, t = state.e, state.t
+            alpha = state.alpha
+            mu_0, s0d = state.mu_0, state.sigma_0_dash
+            mu_w, swd = state.mu_w, state.sigma_w_dash
+            N = jnp.asarray(num_cases, dtype)
+            if cfg.k0:  # fm_learn_vb.h:504-525
+                sigma_new = 1.0 / (state.sigma_0 + N * alpha)
+                w0_temp = _psum(jnp.sum(e * row.valid)) + N * mu_0
+                mu_new = sigma_new * alpha * w0_temp
+                e = e + (mu_0 - mu_new)
+                t = t + (sigma_new - s0d)
+                mu_0, s0d = mu_new, sigma_new
+            if cfg.k1:  # fm_learn_vb.h:390-406
+                for bin_blocks in plan.blocks:
+                    e, t, mu_w, swd = vb_w_bin_update(
+                        e, t, mu_w, swd, state.sigma_w, alpha, bin_blocks,
+                        row)
+            return state.replace(e=e, t=t, mu_0=mu_0, sigma_0_dash=s0d,
+                                 mu_w=mu_w, sigma_w_dash=swd)
+
+        def b_stage(state, b, row, plan):
+            idx = b * F + jnp.arange(F)
+            fmask = (idx < K)[None, :]
+            idxc = jnp.minimum(idx, K - 1)
+            mu_b = take_rows(state.mu_v, idxc)  # [F, D]
+            sig_b = take_rows(state.sigma_v_dash, idxc)
+            sv_dk = take_rows(state.sigma_v, plan.attr_group)  # [D, K]
+            sv_b = jnp.take(sv_dk, idxc, axis=1)  # [D, F]
+            out = vb_v_block_update(
+                state.e, state.t, mu_b.T, sig_b.T, sv_b, state.alpha, plan,
+                row, fmask=fmask)
+            e, t, mu_bt, sig_bt = out[:4]
+            # out-of-range lanes (K % F != 0 tail) are DROPPED — their
+            # frozen values must not race the in-range K-1 lane's update
+            mu_v = state.mu_v.at[idx].set(mu_bt.T, mode="drop")
+            sig_v = state.sigma_v_dash.at[idx].set(sig_bt.T, mode="drop")
+            return (state.replace(e=e, t=t, mu_v=mu_v, sigma_v_dash=sig_v),
+                    out[4]["v"])
+
+        def c_stage(state, nan_v, row, plan, trow, *rest):
+            rest_m = rest[0] if has_rest else None
+            N = jnp.asarray(num_cases, state.mu_w.dtype)
+            new_state, fe, nan_alpha = vb_finalize(
+                state.e, state.t, state.mu_0, state.sigma_0_dash,
+                state.mu_w, state.sigma_w_dash, state.mu_v,
+                state.sigma_v_dash, state, row, plan, cfg, N)
+            nans = dict(nan_w=jnp.zeros((), jnp.int32), nan_v=nan_v,
+                        nan_alpha=nan_alpha)
+            st, metrics = self._eval_and_resample(new_state, fe, nans, row,
+                                                  trow, rest_m)
+            return st, jax.tree.map(lambda a: a[None], metrics)
+
+        sspec, rspec = _state_specs(), _row_specs()
+        pspec = plan_specs_for(self.plan_data)
+        mesh = self.mesh
+        fnW = jax.jit(jax.shard_map(
+            w_stage, mesh=mesh, in_specs=(sspec, rspec, pspec),
+            out_specs=sspec), donate_argnums=(0,)) \
+            if (cfg.k0 or cfg.k1) else None
+        fnB = jax.jit(jax.shard_map(
+            b_stage, mesh=mesh, in_specs=(sspec, P(), rspec, pspec),
+            out_specs=(sspec, P())), donate_argnums=(0,))
+        fnC = jax.jit(jax.shard_map(
+            c_stage, mesh=mesh,
+            in_specs=(sspec, P(), rspec, pspec, rspec,
+                      *((P(DATA_AXIS),) if has_rest else ())),
+            out_specs=(sspec, P())), donate_argnums=(0,))
+        self._staged_cache = (fnW, fnB, fnC)
+        return self._staged_cache
+
+    def _staged_iteration(self, state):
+        """Dispatch one sweep as W + nb block programs + tail; returns
+        (state, metrics) with metrics shaped [1] like a chunk=1 fused
+        call.  All calls are async; nothing here blocks."""
+        fnW, fnB, fnC = self._staged_programs()
+        _F, nb = self._stage_layout()
+        if fnW is not None:
+            state = fnW(state, self.train_row, self.plan_data)
+        nan_v = None
+        for b in range(nb):
+            state, nv = fnB(state, jnp.asarray(b, jnp.int32),
+                            self.train_row, self.plan_data)
+            nan_v = nv if nan_v is None else nan_v + nv
+        if nan_v is None:
+            nan_v = jnp.zeros((), jnp.int32)
+        rest = (() if self._rest_valid is None else (self._rest_valid,))
+        return fnC(state, nan_v, self.train_row, self.plan_data,
+                   self.test_row, *rest)
 
     def init_state(self, key: Optional[jax.Array] = None) -> VBState:
         cfg = self.cfg
@@ -940,11 +1103,14 @@ class VBLearner:
         if state is None:
             state = self.init_state()
         num_iter = num_iter if num_iter is not None else cfg.num_iter
+        staged = self._staged_mode()
         if chunk is None:
             # fixed default chunk => one compiled program shape across runs.
             # Large problems whose sweeps engage internal memory tiling must
             # run one iteration per program (see _fused_steps).
             chunk = 1 if self._needs_row_tiling() else min(10, num_iter)
+        if staged:
+            chunk = 1  # one sweep = W + nb block programs + tail
         it = 0
         done = 0
         if ckpt is not None:
@@ -1016,12 +1182,16 @@ class VBLearner:
         try:
             while done < num_iter:
                 n = min(chunk, num_iter - done)
-                fn = self._fused_steps(n)
                 t0 = _time.perf_counter()
-                rest = (() if self._rest_valid is None
-                        else (self._rest_valid,))
-                state, metrics = fn(state, self.train_row, self.plan_data,
-                                    self.test_row, *rest)
+                if staged:
+                    state, metrics = self._staged_iteration(state)
+                else:
+                    fn = self._fused_steps(n)
+                    rest = (() if self._rest_valid is None
+                            else (self._rest_valid,))
+                    state, metrics = fn(state, self.train_row,
+                                        self.plan_data, self.test_row,
+                                        *rest)
                 done += n
                 if pipeline:
                     if pending is not None:

@@ -180,3 +180,41 @@ def test_quantum_padded_exact_tile_path(monkeypatch):
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(r_tl["free_energy"], r_ref["free_energy"],
                                    rtol=1e-5)
+
+
+def test_staged_path_matches_fused(monkeypatch):
+    """The staged huge-N path (W + per-factor-block + tail programs, used
+    when one fused sweep would exceed the safe single-execution duration
+    on the remotely-attached TPU) must reproduce the fused trajectory
+    exactly — staging is a pure execution-schedule transform."""
+    from svbfm_tpu.learners import vb as vbmod
+
+    # K=5, factor_block=2 -> nb=3 with a padded tail block (K % F != 0),
+    # exercising the drop-mode scatter of the last block
+    coo, tr, te, cfg, learner, meta = _setup(num_rows=500, num_users=18,
+                                             num_items=14, K=5,
+                                             factor_block=2)
+    assert learner._staged_mode() is False
+    _, hist_ref = learner.run(num_iter=4, verbose=False)
+
+    monkeypatch.setattr(vbmod, "VB_STAGE_UNITS", 10)
+    learner2 = VBLearner(cfg, SparseDataset.from_coo(tr, cfg.num_attributes),
+                         SparseDataset.from_coo(te, cfg.num_attributes), meta,
+                         mesh=make_mesh(1), write_files=False)
+    assert learner2._staged_mode() is True
+    _, hist_st = learner2.run(num_iter=4, verbose=False)
+    for r_ref, r_st in zip(hist_ref, hist_st):
+        np.testing.assert_allclose(r_st["rmse"], r_ref["rmse"],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(r_st["free_energy"], r_ref["free_energy"],
+                                   rtol=1e-6)
+        assert r_st["nan_v"] == r_ref["nan_v"]
+
+    # sharded variant agrees too (psum'd stats under the staged split)
+    learner8 = VBLearner(cfg, SparseDataset.from_coo(tr, cfg.num_attributes),
+                         SparseDataset.from_coo(te, cfg.num_attributes), meta,
+                         mesh=make_mesh(8), write_files=False)
+    assert learner8._staged_mode() is True
+    _, hist8 = learner8.run(num_iter=4, verbose=False)
+    for r_ref, r8 in zip(hist_ref, hist8):
+        np.testing.assert_allclose(r8["rmse"], r_ref["rmse"], rtol=2e-4)
