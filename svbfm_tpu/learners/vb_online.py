@@ -67,7 +67,7 @@ from svbfm_tpu.learners.base import (
 )
 from svbfm_tpu.learners.vb import init_vb_params
 from svbfm_tpu.ops.forward import fm_scores, fm_t_terms
-from svbfm_tpu.ops.segment import take_rows
+from svbfm_tpu.ops.segment import take_cols, take_rows
 from svbfm_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_rows, put_replicated
 
 LAMBDA = 0.5
@@ -261,7 +261,9 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
         F = min(F, K)
         nb = -(-K // F)
         K_pad = nb * F
-        sv_dk = take_rows(state.sigma_v, attr_group)  # [D, K]
+        # [K, D] directly (a [D, K] gather would tile-pad K -> 128 lanes:
+        # 6.4x of a D*K table — ~0.8 GiB at the KDD shape)
+        sv_kd = take_cols(state.sigma_v.T, attr_group)  # [K, D]
         rho_v_d = (T0_VJ + t_vj) ** (-LAMBDA)  # [D]
 
         def pad_f(a, fill=1.0):
@@ -281,6 +283,15 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
             else:
                 mu_b, sig_b, nmu_b, nsig_b, sv_b, m = xs
                 m = m[None, :]
+            if F == 1:
+                # flat specialization (K % 1 == 0, so fmask is None here)
+                out = ovb_v_factor(e, t, mu_b[0], sig_b[0], nmu_b[0],
+                                   nsig_b[0], sv_b[0], alpha, rho_v_d,
+                                   blocks, row, cfg)
+                e, t, mu_f, sig_f, nmu_f, nsig_f, tv_add, vc = out
+                vcnt = tuple(a + b for a, b in zip(vcnt, vc))
+                return (e, t, t_vj_add + tv_add, vcnt), \
+                    (mu_f[None], sig_f[None], nmu_f[None], nsig_f[None])
             out = ovb_v_block(e, t, mu_b.T, sig_b.T, nmu_b.T, nsig_b.T,
                               sv_b.T, alpha, rho_v_d, blocks, row, cfg, m)
             e, t, mu_t, sig_t, nmu_t, nsig_t, tv_add, vc = out
@@ -289,7 +300,7 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
                 (mu_t.T, sig_t.T, nmu_t.T, nsig_t.T)
 
         xs = (pad_f(mu_v), pad_f(sigma_v_dash), pad_f(n_mu_v),
-              pad_f(n_sig_v, fill=1.0), pad_f(sv_dk.T))
+              pad_f(n_sig_v, fill=1.0), pad_f(sv_kd))
         if fmask is not None:
             xs = xs + (fmask,)
         z32 = jnp.zeros((), jnp.int32)
@@ -330,8 +341,15 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
                     + rho0 * (num_attr_per_group / w_stat))
     _count_bad(counters, "sigma_w", sigma_w_cand)
     sigma_w = jnp.where(alpha_ok, sigma_w_cand, state.sigma_w)
-    v_stat = jax.ops.segment_sum((mu_v * mu_v + sigma_v_dash).T, attr_group,
-                                 num_segments=G)  # [G, K]
+    # per-factor flat segment sums: the [D, K]-transposed input would
+    # tile-pad K -> 128 lanes (6.4x HBM at huge D)
+    if K > 0:
+        v_stat = jnp.stack(
+            [jax.ops.segment_sum(mu_v[k] * mu_v[k] + sigma_v_dash[k],
+                                 attr_group, num_segments=G)
+             for k in range(K)], axis=1)  # [G, K]
+    else:
+        v_stat = jnp.zeros((G, 0), dtype)
     sigma_v_cand = ((1.0 - rho0) * state.sigma_v
                     + rho0 * (num_attr_per_group[:, None] / v_stat))
     _count_bad(counters, "sigma_v", sigma_v_cand)
@@ -345,9 +363,9 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
     sw_d = take_rows(sigma_w, attr_group)
     fe += jnp.sum(-0.5 * sw_d * (mu_w * mu_w + sigma_w_dash)
                   + 0.5 * jnp.log(sigma_w_dash * sw_d) + 0.5)
-    sv_d = take_rows(sigma_v, attr_group)  # [D, K]
-    fe += jnp.sum(-0.5 * sv_d.T * (mu_v * mu_v + sigma_v_dash)
-                  + 0.5 * jnp.log(sigma_v_dash * sv_d.T) + 0.5)
+    sv_td = take_cols(sigma_v.T, attr_group)  # [K, D] (pad-free layout)
+    fe += jnp.sum(-0.5 * sv_td * (mu_v * mu_v + sigma_v_dash)
+                  + 0.5 * jnp.log(sigma_v_dash * sv_td) + 0.5)
 
     new_state = OVBState(
         mu_0=mu_0, sigma_0_dash=sigma_0_dash, mu_w=mu_w,
@@ -458,6 +476,126 @@ def ovb_v_block(e, t, mu_t, sig_t, nmu_t, nsig_t, sv_t, alpha, rho_v_d,
           jnp.asarray(local.get("nan_sigma_v_dash", z32), jnp.int32),
           jnp.asarray(local.get("inf_sigma_v_dash", z32), jnp.int32))
     return e, t, mu_t, sig_t, nmu_t, nsig_t, tv_add, vc
+
+
+def ovb_v_factor(e, t, mu_d, sig_d, nmu_d, nsig_d, sv_d, alpha, rho_v_d,
+                 blocks, row, cfg: FMConfig):
+    """F=1 FLAT specialization of :func:`ovb_v_block` — the hot path, since
+    online natural-gradient updates must stay factor-sequential (see
+    OVBLearner.__init__).
+
+    Same math, same float op order, but every temp is rank-1 ([N]/[D]/[C])
+    or has a large minor dim ([CH, N] channel-stacked gathers, [C, L]
+    bucket tiles).  The generic path's [N, P, 5F] / [D, F] / [C, L, F]
+    arrays tile-pad their size-F minor dim to 128 lanes at F=1 — 25-128x
+    HBM expansion that OOMs the compile at the KDD shape (D=1.63M,
+    2.6M-row chunks: the [N, P, 5] delta gather alone padded to 8.8 GiB).
+    Per-position gathers from [CH, D] channel-stacked tables keep the
+    gather cost per index-pass while every buffer stays pad-free
+    (fm_learn_vb_online.h:560-627 semantics throughout)."""
+    from svbfm_tpu.learners.mcmc import _count_bad
+
+    local: dict = {}
+    D = mu_d.shape[0]
+    dtype = mu_d.dtype
+    ids, x_r = row.ids, row.vals
+    tv_add = jnp.zeros((D,), dtype)
+
+    # q/tq/tz caches via one [2, N] channel gather per nnz position
+    ptabT = jnp.stack([mu_d, sig_d], axis=0)  # [2, D]
+    q = jnp.zeros_like(e)
+    tq = jnp.zeros_like(e)
+    tz = jnp.zeros_like(e)
+    for p in range(ids.shape[1]):
+        g = take_cols(ptabT, ids[:, p])  # [2, N]
+        xp = x_r[:, p]
+        x2p = xp * xp
+        q = q + g[0] * xp
+        tq = tq + g[1] * x2p
+        tz = tz + g[0] * g[0] * x2p
+    q = q * row.valid
+    tq = tq * row.valid
+    tz = tz * row.valid
+
+    for bin_blocks in blocks:
+        mu_old, sig_old = mu_d, sig_d
+        dmu_v = jnp.zeros((D,), dtype)
+        dsig_v = jnp.zeros((D,), dtype)
+        dmu2_v = jnp.zeros((D,), dtype)
+        stabT = jnp.stack([e, q, tq], axis=0)  # [3, N]
+        for blk in bin_blocks:
+            x = blk.x[0]  # [C, L]
+            x2 = x * x
+            cnt = blk.cnt  # [C] chunk entry count
+            active = cnt > 0
+            cnt1 = jnp.maximum(cnt, 1.0)
+            g = take_cols(stabT, blk.rows[0])  # [3, C, L]
+            e_g, q_g, tq_g = g[0], g[1], g[2]
+            mu_c = take_rows(mu_old, blk.cols)  # [C]
+            sig_c = take_rows(sig_old, blk.cols)
+            nmu_c = take_rows(nmu_d, blk.cols)
+            nsig_c = take_rows(nsig_d, blk.cols)
+            sv_g = take_rows(sv_d, blk.cols)
+            rho = take_rows(rho_v_d, blk.cols)
+            h = q_g - x * mu_c[:, None]
+            h1 = tq_g - x2 * sig_c[:, None]
+            v_mean = _psum((x * h * (e_g + x * mu_c[:, None] * h)).sum(-1)) / cnt1
+            v_sig = _psum((x2 * h * h + x2 * h1).sum(-1)) / cnt1
+            cc = blk.col_count
+            nsig_new = (1.0 - rho) * nsig_c + rho * (sv_g + alpha * cc * v_sig)
+            nmu_new = (1.0 - rho) * nmu_c + rho * cc * alpha * v_mean
+            _count_bad(local, "mu_v_dash",
+                       jnp.where(active, nmu_new / nsig_new, 0.0))
+            _count_bad(local, "sigma_v_dash",
+                       jnp.where(active, 1.0 / nsig_new, 0.0))
+            mu_new = keep_finite(nmu_new / nsig_new, mu_c)
+            sig_new = keep_finite(1.0 / nsig_new, sig_c)
+            mu_new = jnp.where(active, mu_new, mu_c)
+            sig_new = jnp.where(active, sig_new, sig_c)
+            nmu_new = jnp.where(active, nmu_new, nmu_c)
+            nsig_new = jnp.where(active, nsig_new, nsig_c)
+            mu_d = mu_d.at[blk.cols].set(mu_new)
+            sig_d = sig_d.at[blk.cols].set(sig_new)
+            nmu_d = nmu_d.at[blk.cols].set(nmu_new)
+            nsig_d = nsig_d.at[blk.cols].set(nsig_new)
+            dmu_v = dmu_v.at[blk.cols].set(mu_new - mu_c)
+            dsig_v = dsig_v.at[blk.cols].set(sig_new - sig_c)
+            dmu2_v = dmu2_v.at[blk.cols].set(mu_new * mu_new - mu_c * mu_c)
+            tv_add = tv_add.at[blk.cols].add(jnp.where(active, blk.cnt, 0.0))
+
+        # apply the bin's deltas to e/t/q/tq/tz via one [5, N] channel
+        # gather per position (the generic path's [N, P, 5] form)
+        dtabT = jnp.stack([mu_old, sig_old, dmu_v, dsig_v, dmu2_v], axis=0)
+        dq = jnp.zeros_like(e)
+        dtq = jnp.zeros_like(e)
+        dtz = jnp.zeros_like(e)
+        de = jnp.zeros_like(e)
+        dt = jnp.zeros_like(e)
+        for p in range(ids.shape[1]):
+            g = take_cols(dtabT, ids[:, p])  # [5, N]
+            mu_e, sig_e, dmu_e, dsig_e, dmu2_e = g[0], g[1], g[2], g[3], g[4]
+            xp = x_r[:, p]
+            x2p = xp * xp
+            he = xp * (q - xp * mu_e)
+            h1e = x2p * (tq - x2p * sig_e)
+            h2e = x2p * (tz - x2p * mu_e * mu_e)
+            dq = dq + xp * dmu_e
+            dtq = dtq + x2p * dsig_e
+            dtz = dtz + x2p * dmu2_e
+            de = de + he * dmu_e
+            dt = dt + (h1e + h2e) * dsig_e + h1e * dmu2_e
+        q = q + dq * row.valid
+        tq = tq + dtq * row.valid
+        tz = tz + dtz * row.valid
+        e = e - de * row.valid
+        t = t + dt * row.valid
+
+    z32 = jnp.zeros((), jnp.int32)
+    vc = (jnp.asarray(local.get("nan_mu_v_dash", z32), jnp.int32),
+          jnp.asarray(local.get("inf_mu_v_dash", z32), jnp.int32),
+          jnp.asarray(local.get("nan_sigma_v_dash", z32), jnp.int32),
+          jnp.asarray(local.get("inf_sigma_v_dash", z32), jnp.int32))
+    return e, t, mu_d, sig_d, nmu_d, nsig_d, tv_add, vc
 
 
 # ---------------------------------------------------------------------------

@@ -161,3 +161,53 @@ def test_ovb_reshuffle_resume_matches(tmp_path):
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(s_res.mu_v),
                                np.asarray(s_full.mu_v), rtol=1e-5, atol=1e-7)
+
+
+def test_ovb_v_factor_matches_generic_block():
+    """The F=1 flat v-sweep (ovb_v_factor, the factor-sequential hot path)
+    must reproduce the generic ovb_v_block instance exactly: same gathers,
+    same float op order, only pad-free layouts."""
+    import jax
+    import jax.numpy as jnp
+
+    from svbfm_tpu.learners.vb_online import ovb_v_block, ovb_v_factor
+
+    tr, te, cfg, meta, learner = _setup(num_rows=400, num_users=17,
+                                        num_items=13, K=1, factor_block=1)
+    state = learner.init_state()
+    row = jax.tree.map(lambda a: np.asarray(a)[0], learner.chunk_row)
+    blocks = jax.tree.map(lambda a: np.asarray(a)[0], learner.chunk_blocks)
+    D = cfg.num_attributes
+    rng = np.random.default_rng(3)
+    e = jnp.asarray(rng.standard_normal(row.ids.shape[0]), jnp.float32)
+    t = jnp.asarray(rng.random(row.ids.shape[0]), jnp.float32) * 0.1
+    mu = jnp.asarray(rng.standard_normal(D), jnp.float32) * 0.1
+    sig = jnp.asarray(rng.random(D), jnp.float32) * 0.05 + 0.01
+    nmu = jnp.asarray(rng.standard_normal(D), jnp.float32)
+    nsig = jnp.asarray(rng.random(D), jnp.float32) + 0.5
+    sv = jnp.ones((D,), jnp.float32)
+    rho_v_d = jnp.full((D,), 0.7, jnp.float32)
+    alpha = jnp.asarray(1.3, jnp.float32)
+
+    from jax.sharding import PartitionSpec
+    P0 = PartitionSpec()
+    out_spec = (P0, P0, P0, P0, P0, P0, P0, (P0, P0, P0, P0))
+
+    def wrap(fn):
+        return jax.jit(jax.shard_map(
+            fn, mesh=learner.mesh, in_specs=(P0,) * 6, out_specs=out_spec))
+
+    out_g = wrap(lambda e, t, mu, sig, nmu, nsig: ovb_v_block(
+        e, t, mu[:, None], sig[:, None], nmu[:, None], nsig[:, None],
+        sv[:, None], alpha, rho_v_d, blocks, row, cfg, None))(
+            e, t, mu, sig, nmu, nsig)
+    out_f = wrap(lambda e, t, mu, sig, nmu, nsig: ovb_v_factor(
+        e, t, mu, sig, nmu, nsig, sv, alpha, rho_v_d, blocks, row, cfg))(
+            e, t, mu, sig, nmu, nsig)
+    for g, f, name in zip(out_g[:6], out_f[:6],
+                          ("e", "t", "mu", "sig", "nmu", "nsig")):
+        np.testing.assert_allclose(np.asarray(g).reshape(-1),
+                                   np.asarray(f).reshape(-1),
+                                   rtol=2e-6, atol=2e-7, err_msg=name)
+    np.testing.assert_allclose(np.asarray(out_g[6]), np.asarray(out_f[6]))
+    assert all(int(a) == int(b) for a, b in zip(out_g[7], out_f[7]))
