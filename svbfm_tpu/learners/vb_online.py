@@ -904,7 +904,8 @@ class OVBLearner:
         self._chunk_step_fn = jax.jit(jax.shard_map(
             step, mesh=self.mesh,
             in_specs=(_state_specs(), _row_specs(False), block_specs, rep),
-            out_specs=(_state_specs(), rep, ovb_counter_specs())))
+            out_specs=(_state_specs(), rep, ovb_counter_specs())),
+            donate_argnums=(0,))  # state aliases in place (~0.5 GiB at KDD D)
         return self._chunk_step_fn
 
     def _build_eval(self):
@@ -1088,7 +1089,7 @@ class OVBLearner:
             in_specs=(_state_specs(), P(), _row_specs(True),
                       self._block_specs(True), _row_specs(False)),
             out_specs=(_state_specs(), P(), P(), P(), ovb_counter_specs()),
-        ))
+        ), donate_argnums=(0,))  # state aliases across epochs
         return self._epoch_fn
 
     def init_state(self, key: Optional[jax.Array] = None) -> OVBState:
