@@ -110,17 +110,28 @@ def main() -> None:
     D = users + items
     reader = BinaryChunkReader(prefix + ".x", prefix + ".y")
     assert reader.num_rows == rows
-    # small in-memory test set with the same structure
+    # small in-memory test set drawn from the SAME rank-structured model as
+    # the training generator (seed 11), so test RMSE measures real fit —
+    # not distance to a constant
+    gen_rng = np.random.default_rng(11)
+    rank = 8
+    pu = (0.35 * gen_rng.standard_normal((users, rank))).astype(np.float32)
+    qi = (0.35 * gen_rng.standard_normal((items, rank))).astype(np.float32)
+    bu = (0.4 * gen_rng.standard_normal(users)).astype(np.float32)
+    bi = (0.4 * gen_rng.standard_normal(items)).astype(np.float32)
     rng = np.random.default_rng(99)
     nt = 500_000
     u = rng.integers(0, users, nt)
     i = rng.integers(0, items, nt)
+    yt = y0 + ys * (bu[u] + bi[i] + np.einsum("nk,nk->n", pu[u], qi[i])
+                    + 0.6 * rng.standard_normal(nt).astype(np.float32))
+    yt = np.clip(np.rint(yt), ylo, yhi).astype(np.float32)
     te = COOData(
         row=np.repeat(np.arange(nt, dtype=np.int32), 2),
         col=np.concatenate([u[:, None], (users + i)[:, None]],
                            axis=1).reshape(-1).astype(np.int32),
         val=np.ones(2 * nt, np.float32),
-        target=np.full(nt, y0, np.float32), num_rows=nt, num_features=D)
+        target=yt, num_rows=nt, num_features=D)
     meta = DataMetaInfo.from_field_offsets(D, [0, users])
     cfg = FMConfig(num_attributes=D, num_factor=K, min_target=ylo,
                    max_target=yhi, num_groups=meta.num_attr_groups, seed=7,
