@@ -283,7 +283,19 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
             else:
                 mu_b, sig_b, nmu_b, nsig_b, sv_b, m = xs
                 m = m[None, :]
-            if F == 1:
+            import os as _os
+            # The flat path trades one [N, P]-index gather pass for P
+            # per-position passes: ~20% slower at small shapes (measured
+            # 12.9 vs 15.7 s/epoch at ML-10M), but its pad-free temps are
+            # what lets huge chunks compile at all (KDD: the generic
+            # [N, P, 5] delta gather alone tile-pads to 6.3 GiB).  Use it
+            # when the generic path's padding overhead (~6 KB per chunk
+            # row + ~3.5 KB per feature at F=1) nears HBM scale.
+            pad_overhead = row.ids.shape[0] * 6_000 + D * 3_500
+            ov = _os.environ.get("SVBFM_OVB_FLAT")
+            use_flat = (pad_overhead > 2_500_000_000 if ov is None
+                        else ov != "0")
+            if F == 1 and use_flat:
                 # flat specialization (K % 1 == 0, so fmask is None here)
                 out = ovb_v_factor(e, t, mu_b[0], sig_b[0], nmu_b[0],
                                    nsig_b[0], sv_b[0], alpha, rho_v_d,
@@ -882,6 +894,13 @@ class OVBLearner:
                 col_count=put_replicated(self.mesh, bk["col_count"]))
                   for bk in bin_list)
             for bin_list in aligned)
+        # device_put is async: without this barrier the prefetch window
+        # bounds nothing (every chunk's HOST buffer stays pinned until the
+        # tunnel ships it — observed 76 GiB peak RSS on the KDD-263M run).
+        # Blocking HERE, in the prefetch worker thread, is what makes the
+        # `depth`-chunk window a real host-memory bound while transfers
+        # still overlap the main thread's dispatches.
+        jax.block_until_ready((row, blocks))
         return row, blocks
 
     def _build_chunk_step(self):
