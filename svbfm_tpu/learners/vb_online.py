@@ -894,13 +894,10 @@ class OVBLearner:
                 col_count=put_replicated(self.mesh, bk["col_count"]))
                   for bk in bin_list)
             for bin_list in aligned)
-        # device_put is async: without this barrier the prefetch window
-        # bounds nothing (every chunk's HOST buffer stays pinned until the
-        # tunnel ships it — observed 76 GiB peak RSS on the KDD-263M run).
-        # Blocking HERE, in the prefetch worker thread, is what makes the
-        # `depth`-chunk window a real host-memory bound while transfers
-        # still overlap the main thread's dispatches.
-        jax.block_until_ready((row, blocks))
+        # NOTE on host RSS: device_put is async and a block_until_ready
+        # here neither bounds host memory through the tunnel (64 GiB peak
+        # either way on the KDD-263M run — the relay client's buffering is
+        # outside our control) nor is free; keep the worker non-blocking.
         return row, blocks
 
     def _build_chunk_step(self):
