@@ -1005,6 +1005,16 @@ class OVBLearner:
 
             top_up()
             nans_acc = []
+            # optional periodic drain (SVBFM_STREAM_DRAIN=k): fetch one
+            # k-chunks-old fe scalar so dispatch never runs more than ~k
+            # chunks ahead, releasing the tunnel client's pinned host
+            # copies of every in-flight chunk.  Measured at KDD-263M:
+            # k=12 caps peak RSS at 31 GiB (vs 57 unbounded) but costs
+            # +60% epoch time — each fetch drains the whole relay
+            # pipeline — so it is OFF by default; set it on hosts where
+            # RAM, not wall-clock, is the binding constraint.
+            import os as _os
+            drain = int(_os.environ.get("SVBFM_STREAM_DRAIN", "0"))
             for idx, ci in enumerate(order):
                 row, blocks = futs.popleft().result()
                 top_up()
@@ -1013,6 +1023,8 @@ class OVBLearner:
                     jnp.asarray(float(self.chunk_sizes[ci]), jnp.float32))
                 fes.append(fe)
                 nans_acc.append(nans)
+                if drain > 0 and idx >= drain and idx % drain == 0:
+                    jax.device_get(fes[idx - drain])
             # one host transfer for all chunk free-energies + eval metrics
             # (per-value np.asarray costs a tunnel round-trip each)
             t_pred = _time.perf_counter()
