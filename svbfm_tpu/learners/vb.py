@@ -756,6 +756,18 @@ class VBLearner:
         self.plan_data = build_plan_data(self.mesh, self.plan, meta)
         self.train_target_np = np.asarray(train.target[: train.num_rows])
         self.test_target_np = np.asarray(test.target[: test.num_rows])
+        # Regression sweeps never read the train targets on device (only
+        # the classification probit resampling does, vb.py:852): keep them
+        # host-side and hand the programs a zero-length placeholder.  At
+        # 100M rows the resident [N] target is 0.4 GB of HBM — the margin
+        # that decides whether a larger factor block fits (PARITY_RUNS
+        # round-4 staged notes); init_state rebuilds e from the host copy.
+        self._device_train_target = cfg.task != TASK_REGRESSION
+        if not self._device_train_target:
+            from jax.sharding import NamedSharding
+            self.train_row = self.train_row.replace(target=jax.device_put(
+                np.zeros(0, np.float32),
+                NamedSharding(self.mesh, P(DATA_AXIS))))
         self.out_dir = out_dir
         self.write_files = write_files
         self._build_jits()
@@ -1019,6 +1031,19 @@ class VBLearner:
         return fnC(state, nan_v, self.train_row, self.plan_data,
                    self.test_row, *rest)
 
+    def _init_target(self, n_pad: int, lo: int, hi: int):
+        """[lo:hi) slice of the quantum-padded train targets, from the
+        device copy when it exists (classification) or the host copy
+        (regression — the device placeholder is zero-length)."""
+        if self._device_train_target:
+            return self.train_row.target[lo:hi]
+        y = self.train_target_np
+        out = np.zeros(hi - lo, np.float32)
+        if lo < y.shape[0]:
+            seg = y[lo:min(hi, y.shape[0])]
+            out[: seg.shape[0]] = seg
+        return out
+
     def init_state(self, key: Optional[jax.Array] = None) -> VBState:
         cfg = self.cfg
         if key is None:
@@ -1039,7 +1064,7 @@ class VBLearner:
                   p["sigma_v_dash"])
             for lo in range(0, n_rows, row_chunk):
                 hi = min(lo + row_chunk, n_rows)
-                parts_e.append(self.train_row.target[lo:hi]
+                parts_e.append(self._init_target(n_rows, lo, hi)
                                - self._scores(sc, ids[lo:hi], vals[lo:hi]))
                 parts_t.append(self._tterms(tc, ids[lo:hi], vals[lo:hi]))
                 jax.block_until_ready(parts_t[-1])  # bound in-flight temps
@@ -1047,7 +1072,8 @@ class VBLearner:
             t = jnp.concatenate(parts_t)
         else:
             yhat = self._scores((p["mu_0"], p["mu_w"], p["mu_v"]), ids, vals)
-            e = self.train_row.target - yhat  # e = y - yhat (VB sign)
+            # e = y - yhat (VB sign)
+            e = self._init_target(n_rows, 0, n_rows) - yhat
             t = self._tterms((p["sigma_0_dash"], p["sigma_w_dash"],
                               p["mu_v"], p["sigma_v_dash"]), ids, vals)
         state = VBState(e=e, t=t, **p)
