@@ -221,6 +221,21 @@ def _split_stats_gathers(n_loc: int, F: int) -> bool:
     return ch_pad * n_loc * 4 > VB_STATS_STACK_BYTES
 
 
+# Above this many PADDED bytes, the [F, N] tz cache (sum_i mu^2 x^2,
+# fm_learn_vb.h:354-381) is not carried at all: tz is only consumed in the
+# bin patch, where the pre-bin mu is gathered anyway, so the patch
+# recomputes it per row tile and folds its dt contribution algebraically
+# (tz*sum(x^2 dsig) - sum(x^4 mu^2 dsig) — exact for conflict-free bins
+# modulo rounding).  Saves one full [ceil8(F), N] buffer (2.98 GiB at
+# N=100M) — the margin that lets factor_block=8 compile at full-Netflix
+# scale.  Kept as a module variable so tests can lower it.
+VB_TZ_CARRY_BYTES = 1_500_000_000
+
+
+def _drop_tz_carry(n_loc: int, F: int) -> bool:
+    return (-(-F // 8) * 8) * n_loc * 4 > VB_TZ_CARRY_BYTES
+
+
 def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
                       fmask=None, w_state=None):
     """Coordinate sweep for a *block* of F factors (fm_learn_vb.h:577-644).
@@ -268,12 +283,16 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
     # --- q/tq/tz build as [F, N] (one flat gather per row position) ---
     ptab_t = jnp.concatenate([mu_t.T, sig_t.T], axis=0)  # [2F, D]
 
+    # beyond VB_TZ_CARRY_BYTES the tz cache is recomputed inside the patch
+    # tiles instead of being carried as a third [F, N] buffer
+    carry_tz = not _drop_tz_carry(n_loc, F)
+
     def build_qt(ids_t, x_t):
-        # ids_t/x_t [Nt, P] -> q/tq/tz [F, Nt]
+        # ids_t/x_t [Nt, P] -> q/tq(/tz) [F, Nt]
         nt_ = ids_t.shape[0]
         q = jnp.zeros((F, nt_), dtype)
         tq = jnp.zeros((F, nt_), dtype)
-        tz = jnp.zeros((F, nt_), dtype)
+        tz = jnp.zeros((F, nt_), dtype) if carry_tz else None
         for p in range(P_row):
             g = jnp.take(ptab_t, ids_t[:, p], axis=-1)  # [2F, Nt]
             xp = x_t[:, p][None]
@@ -281,8 +300,9 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
             mug, sigg = g[:F], g[F:]
             q = q + mug * xp
             tq = tq + sigg * x2p
-            tz = tz + mug * mug * x2p
-        return q, tq, tz
+            if carry_tz:
+                tz = tz + mug * mug * x2p
+        return (q, tq, tz) if carry_tz else (q, tq)
 
     # at huge N the per-position [2F, N] gather temps cost GBs (2x2.98 GB
     # at N=100M F=4, measured); bound them with the same pad-free in-place
@@ -290,7 +310,7 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
     rtb = _row_tile_count(n_loc, 2 * F)
     ntb = None if rtb == 1 else _exact_tile_len(n_loc, rtb)
     if ntb is None:
-        q, tq, tz = build_qt(ids, x_r)
+        caches = build_qt(ids, x_r)
     else:
         def bbody(i, carry):
             lo = i * ntb
@@ -303,9 +323,14 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
 
         # zeros must be typed varying over the data axis to match the
         # body outputs (carry types must agree under shard_map)
-        q, tq, tz = jax.lax.fori_loop(
+        caches = jax.lax.fori_loop(
             0, n_loc // ntb, bbody,
-            tuple(_pvary(jnp.zeros((F, n_loc), dtype)) for _ in range(3)))
+            tuple(_pvary(jnp.zeros((F, n_loc), dtype))
+                  for _ in range(3 if carry_tz else 2)))
+    if carry_tz:
+        q, tq, tz = caches
+    else:
+        (q, tq), tz = caches, None
 
     for bin_blocks in plan.blocks:
         mu_old_t, sig_old_t = mu_t, sig_t  # pre-bin snapshots (functional)
@@ -438,8 +463,17 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
         CH = dtab_t.shape[0]
         assert CH == _patch_channels(F, w_state is not None)  # trace-time pin
 
-        def patch_tile(ids_t, x_t, q_t, tq_t, tz_t, e_t, t_t):
-            # ids_t/x_t [P, Nt]; caches [F, Nt] / [Nt]
+        def patch_tile(ids_t, x_t, *tiles):
+            # ids_t/x_t [P, Nt]; caches [F, Nt] / [Nt].  Without the tz
+            # carry, tz is recomputed here from the pre-bin mu (gathered
+            # anyway) and its dt term folded algebraically after the loop.
+            if carry_tz:
+                q_t, tq_t, tz_t, e_t, t_t = tiles
+            else:
+                q_t, tq_t, e_t, t_t = tiles
+                tz_acc = jnp.zeros_like(q_t)
+                a_acc = jnp.zeros_like(q_t)
+                b_acc = jnp.zeros_like(q_t)
             for p in range(P_row):
                 gg = jnp.take(dtab_t, ids_t[p], axis=-1)  # [CH, Nt]
                 xp = x_t[p][None]
@@ -451,23 +485,42 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
                 dmu2_e = gg[4 * F:5 * F]
                 he = xp * (q_t - xp * mu_e)
                 h1e = x2p * (tq_t - x2p * sig_e)
-                h2e = x2p * (tz_t - x2p * mu_e * mu_e)
                 q_t = q_t + xp * dmu_e
                 tq_t = tq_t + x2p * dsig_e
-                tz_t = tz_t + x2p * dmu2_e
                 e_t = e_t - (he * dmu_e).sum(0)
-                t_t = t_t + ((h1e + h2e) * dsig_e + h1e * dmu2_e).sum(0)
+                if carry_tz:
+                    h2e = x2p * (tz_t - x2p * mu_e * mu_e)
+                    tz_t = tz_t + x2p * dmu2_e
+                    t_t = t_t + ((h1e + h2e) * dsig_e
+                                 + h1e * dmu2_e).sum(0)
+                else:
+                    t_t = t_t + (h1e * dsig_e + h1e * dmu2_e).sum(0)
+                    tz_acc = tz_acc + x2p * (mu_e * mu_e)
+                    a_acc = a_acc + x2p * dsig_e
+                    b_acc = b_acc + (x2p * x2p) * (mu_e * mu_e) * dsig_e
                 if w_state is not None:
                     e_t = e_t + x_t[p] * gg[5 * F]
                     t_t = t_t + x_t[p] * x_t[p] * gg[5 * F + 1]
+            if not carry_tz:
+                # sum_p h2e_p dsig_p = tz * sum_p x^2 dsig
+                #                      - sum_p x^4 mu^2 dsig, with tz
+                # recomputed from the pre-bin mu — exact for conflict-free
+                # bins (deltas vanish at all but one position per row)
+                t_t = t_t + (tz_acc * a_acc - b_acc).sum(0)
+                return q_t, tq_t, e_t, t_t
             return q_t, tq_t, tz_t, e_t, t_t
 
         ids_pn = ids.T  # [P, N] (small sublane pad only)
         x_pn = x_r.T
+        base = (q, tq, tz, e, t) if carry_tz else (q, tq, e, t)
         rt = _row_tile_count(n_loc, CH)
         nt_exact = None if rt == 1 else _exact_tile_len(n_loc, rt)
         if rt == 1:
-            q, tq, tz, e, t = patch_tile(ids_pn, x_pn, q, tq, tz, e, t)
+            out = patch_tile(ids_pn, x_pn, *base)
+            if carry_tz:
+                q, tq, tz, e, t = out
+            else:
+                q, tq, e, t = out
         elif nt_exact is not None:
             # fori_loop over row tiles, patching the caches IN PLACE via
             # dynamic slices: the while-loop carry aliases across
@@ -491,8 +544,11 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
                     jax.lax.dynamic_update_slice_in_dim(c, o, lo, -1)
                     for c, o in zip(carry, outs))
 
-            q, tq, tz, e, t = jax.lax.fori_loop(
-                0, n_loc // nt, body, (q, tq, tz, e, t))
+            out = jax.lax.fori_loop(0, n_loc // nt, body, base)
+            if carry_tz:
+                q, tq, tz, e, t = out
+            else:
+                q, tq, e, t = out
         else:
             # no exact divisor (un-quantized row count): padded fallback,
             # pays full-cache pad+slice copies — fine at the small n_loc
@@ -521,8 +577,12 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
                     for c, o in zip(carry, outs))
 
             carry = jax.lax.fori_loop(
-                0, rt, body, tuple(padN(a) for a in (q, tq, tz, e, t)))
-            q, tq, tz, e, t = (a[..., :n_loc] for a in carry)
+                0, rt, body, tuple(padN(a) for a in base))
+            out = tuple(a[..., :n_loc] for a in carry)
+            if carry_tz:
+                q, tq, tz, e, t = out
+            else:
+                q, tq, e, t = out
     nans = dict(v=nan_v, w=nan_w)
     if w_state is not None:
         return e, t, mu_t, sig_t, nans, (mu_w, sig_w_dash, sigma_w)

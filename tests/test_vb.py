@@ -218,3 +218,35 @@ def test_staged_path_matches_fused(monkeypatch):
     _, hist8 = learner8.run(num_iter=4, verbose=False)
     for r_ref, r8 in zip(hist_ref, hist8):
         np.testing.assert_allclose(r8["rmse"], r_ref["rmse"], rtol=2e-4)
+
+
+def test_tz_free_patch_matches_carry(monkeypatch):
+    """Above VB_TZ_CARRY_BYTES the kernel recomputes tz inside the patch
+    tiles instead of carrying a third [F, N] cache (the 2.98 GiB margin
+    at N=100M).  The fold is algebraically identical for conflict-free
+    bins; trajectories must agree to rounding."""
+    from svbfm_tpu.learners import vb as vbmod
+
+    coo, tr, te, cfg, learner, meta = _setup(num_rows=700, num_users=20,
+                                             num_items=16, K=5,
+                                             factor_block=2)
+    _, hist_ref = learner.run(num_iter=4, verbose=False)
+
+    monkeypatch.setattr(vbmod, "VB_TZ_CARRY_BYTES", 1)
+    l2 = VBLearner(cfg, SparseDataset.from_coo(tr, cfg.num_attributes),
+                   SparseDataset.from_coo(te, cfg.num_attributes), meta,
+                   mesh=make_mesh(1), write_files=False)
+    _, hist_tf = l2.run(num_iter=4, verbose=False)
+    for r_ref, r_tf in zip(hist_ref, hist_tf):
+        np.testing.assert_allclose(r_tf["rmse"], r_ref["rmse"], rtol=3e-5)
+        np.testing.assert_allclose(r_tf["free_energy"],
+                                   r_ref["free_energy"], rtol=3e-5)
+
+    # and under the forced tiled (chunk=1) path + 8-device mesh
+    monkeypatch.setattr(vbmod, "VB_TILE_BUDGET", 4096)
+    l8 = VBLearner(cfg, SparseDataset.from_coo(tr, cfg.num_attributes),
+                   SparseDataset.from_coo(te, cfg.num_attributes), meta,
+                   mesh=make_mesh(8), write_files=False)
+    _, hist8 = l8.run(num_iter=4, verbose=False, chunk=1)
+    for r_ref, r8 in zip(hist_ref, hist8):
+        np.testing.assert_allclose(r8["rmse"], r_ref["rmse"], rtol=3e-4)
