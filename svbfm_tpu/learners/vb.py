@@ -227,9 +227,13 @@ def _split_stats_gathers(n_loc: int, F: int) -> bool:
 # recomputes it per row tile and folds its dt contribution algebraically
 # (tz*sum(x^2 dsig) - sum(x^4 mu^2 dsig) — exact for conflict-free bins
 # modulo rounding).  Saves one full [ceil8(F), N] buffer (2.98 GiB at
-# N=100M) — the margin that lets factor_block=8 compile at full-Netflix
-# scale.  Kept as a module variable so tests can lower it.
-VB_TZ_CARRY_BYTES = 1_500_000_000
+# N=100M).  Measured at 100M: the recompute costs ~10-20% extra patch
+# work, and fb=4 WITH the carry (93 s/iter) beats every configuration
+# that needs to drop it (fb=8 tz-free: 230 s/iter — wider channel
+# gathers dominate), so the threshold sits just above the largest
+# carried shape that fits: this is the emergency valve for N beyond
+# full-Netflix, not a fast path.  Module variable so tests can lower it.
+VB_TZ_CARRY_BYTES = 3_400_000_000
 
 
 def _drop_tz_carry(n_loc: int, F: int) -> bool:
