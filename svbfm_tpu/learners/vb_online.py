@@ -1117,7 +1117,13 @@ class OVBLearner:
             in_specs=(_state_specs(), P(), _row_specs(True),
                       self._block_specs(True), _row_specs(False)),
             out_specs=(_state_specs(), P(), P(), P(), ovb_counter_specs()),
-        ), donate_argnums=(0,))  # state aliases across epochs
+        ))
+        # NOT donated: the pipelined run loop flushes epoch k's metrics
+        # (rlog stream_row / MAP / classification eval all read epoch k's
+        # STATE) after epoch k+1 is dispatched — donation would delete the
+        # buffers they read (caught by test_ovb_map_written_to_trajectory
+        # _file).  The streaming chunk step donates safely: its flush only
+        # touches the current state.
         return self._epoch_fn
 
     def init_state(self, key: Optional[jax.Array] = None) -> OVBState:
