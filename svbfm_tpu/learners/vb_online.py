@@ -285,15 +285,17 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
                 m = m[None, :]
             import os as _os
             # The flat path trades one [N, P]-index gather pass for P
-            # per-position passes: ~20% slower at small shapes (measured
-            # 12.9 vs 15.7 s/epoch at ML-10M), but its pad-free temps are
-            # what lets huge chunks compile at all (KDD: the generic
-            # [N, P, 5] delta gather alone tile-pads to 6.3 GiB).  Use it
-            # when the generic path's padding overhead (~6 KB per chunk
-            # row + ~3.5 KB per feature at F=1) nears HBM scale.
+            # per-position passes: ~20% slower at shapes where the generic
+            # path's tile-padded temps fit HBM (measured 12.9 vs 15.7
+            # s/epoch at ML-10M), but its pad-free temps are what lets
+            # huge chunks compile at all (KDD: the generic [N, P, 5] delta
+            # gather alone tile-pads to 6.3 GiB).  The estimate below is
+            # calibrated on two measured endpoints: Netflix-shape 2.5M-row
+            # chunks (est 16.7e9) run GENERIC and fit; KDD-shape 2.63M-row
+            # chunks at D=1.63M (est 21.5e9) OOM generic and need flat.
             pad_overhead = row.ids.shape[0] * 6_000 + D * 3_500
             ov = _os.environ.get("SVBFM_OVB_FLAT")
-            use_flat = (pad_overhead > 2_500_000_000 if ov is None
+            use_flat = (pad_overhead > 19_000_000_000 if ov is None
                         else ov != "0")
             if F == 1 and use_flat:
                 # flat specialization (K % 1 == 0, so fmask is None here)
