@@ -274,57 +274,87 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
 
         fmask = (jnp.arange(K_pad).reshape(nb, F) < K) if K_pad != K else None
 
+        import os as _os
+        # The flat path trades one [N, P]-index gather pass for P
+        # per-position passes: ~20% slower at shapes where the generic
+        # path's tile-padded temps fit HBM (measured 12.9 vs 15.7
+        # s/epoch at ML-10M), but its pad-free temps are what lets
+        # huge chunks compile at all (KDD: the generic [N, P, 5] delta
+        # gather alone tile-pads to 6.3 GiB).  The estimate below is
+        # calibrated on two measured endpoints: Netflix-shape 2.5M-row
+        # chunks (est 16.7e9) run GENERIC and fit; KDD-shape 2.63M-row
+        # chunks at D=1.63M (est 21.5e9) OOM generic and need flat.
+        pad_overhead = row.ids.shape[0] * 6_000 + D * 3_500
+        ov = _os.environ.get("SVBFM_OVB_FLAT")
+        use_flat = F == 1 and (pad_overhead > 19_000_000_000 if ov is None
+                               else ov != "0")
+        mu_s, sig_s = pad_f(mu_v), pad_f(sigma_v_dash)
+        nmu_s = pad_f(n_mu_v)
+        nsig_s = pad_f(n_sig_v, fill=1.0)
+        sv_s = pad_f(sv_kd)
+        z32 = jnp.zeros((), jnp.int32)
+
         def blk_step(carry, xs):
-            # v nan/inf counts ride the carry (trace-safe inside lax.scan)
-            e, t, t_vj_add, vcnt = carry
+            # v nan/inf counts ride the carry (trace-safe inside lax.scan);
+            # q/tq/tz caches for THIS block arrive prebuilt in the carry
+            # and the next block's are built by this block's last delta
+            # pass (pass pipelining — one index pass saved per block)
+            e, t, t_vj_add, vcnt, qtz = carry
             if fmask is None:
-                mu_b, sig_b, nmu_b, nsig_b, sv_b = xs
+                mu_b, sig_b, nmu_b, nsig_b, sv_b, nxt_mu, nxt_sig = xs
                 m = None
             else:
-                mu_b, sig_b, nmu_b, nsig_b, sv_b, m = xs
+                mu_b, sig_b, nmu_b, nsig_b, sv_b, m, nxt_mu, nxt_sig = xs
                 m = m[None, :]
-            import os as _os
-            # The flat path trades one [N, P]-index gather pass for P
-            # per-position passes: ~20% slower at shapes where the generic
-            # path's tile-padded temps fit HBM (measured 12.9 vs 15.7
-            # s/epoch at ML-10M), but its pad-free temps are what lets
-            # huge chunks compile at all (KDD: the generic [N, P, 5] delta
-            # gather alone tile-pads to 6.3 GiB).  The estimate below is
-            # calibrated on two measured endpoints: Netflix-shape 2.5M-row
-            # chunks (est 16.7e9) run GENERIC and fit; KDD-shape 2.63M-row
-            # chunks at D=1.63M (est 21.5e9) OOM generic and need flat.
-            pad_overhead = row.ids.shape[0] * 6_000 + D * 3_500
-            ov = _os.environ.get("SVBFM_OVB_FLAT")
-            use_flat = (pad_overhead > 19_000_000_000 if ov is None
-                        else ov != "0")
-            if F == 1 and use_flat:
+            if use_flat:
                 # flat specialization (K % 1 == 0, so fmask is None here)
+                nptab = jnp.stack([nxt_mu[0], nxt_sig[0]], axis=0)  # [2, D]
                 out = ovb_v_factor(e, t, mu_b[0], sig_b[0], nmu_b[0],
                                    nsig_b[0], sv_b[0], alpha, rho_v_d,
-                                   blocks, row, cfg)
-                e, t, mu_f, sig_f, nmu_f, nsig_f, tv_add, vc = out
+                                   blocks, row, cfg, qtz=qtz,
+                                   next_ptab=nptab)
+                e, t, mu_f, sig_f, nmu_f, nsig_f, tv_add, vc, nqtz = out
                 vcnt = tuple(a + b for a, b in zip(vcnt, vc))
-                return (e, t, t_vj_add + tv_add, vcnt), \
+                return (e, t, t_vj_add + tv_add, vcnt, nqtz), \
                     (mu_f[None], sig_f[None], nmu_f[None], nsig_f[None])
+            nptab = jnp.concatenate([nxt_mu.T, nxt_sig.T], axis=-1)
             out = ovb_v_block(e, t, mu_b.T, sig_b.T, nmu_b.T, nsig_b.T,
-                              sv_b.T, alpha, rho_v_d, blocks, row, cfg, m)
-            e, t, mu_t, sig_t, nmu_t, nsig_t, tv_add, vc = out
+                              sv_b.T, alpha, rho_v_d, blocks, row, cfg, m,
+                              qtz=qtz, next_ptab=nptab)
+            e, t, mu_t, sig_t, nmu_t, nsig_t, tv_add, vc, nqtz = out
             vcnt = tuple(a + b for a, b in zip(vcnt, vc))
-            return (e, t, t_vj_add + tv_add, vcnt), \
+            return (e, t, t_vj_add + tv_add, vcnt, nqtz), \
                 (mu_t.T, sig_t.T, nmu_t.T, nsig_t.T)
 
-        xs = (pad_f(mu_v), pad_f(sigma_v_dash), pad_f(n_mu_v),
-              pad_f(n_sig_v, fill=1.0), pad_f(sv_kd))
-        if fmask is not None:
-            xs = xs + (fmask,)
-        z32 = jnp.zeros((), jnp.int32)
-        carry0 = (e, t, jnp.zeros((D,), dtype), (z32,) * 4)
         if nb == 1:
-            (e, t, tv_add, vcnt), out = blk_step(
-                carry0, jax.tree.map(lambda a: a[0], xs))
-            outs = jax.tree.map(lambda a: a[None], out)
+            # single block: nothing to pipeline (fmask is None here since
+            # nb == 1 implies F == K)
+            if use_flat:
+                out = ovb_v_factor(e, t, mu_s[0, 0], sig_s[0, 0],
+                                   nmu_s[0, 0], nsig_s[0, 0], sv_s[0, 0],
+                                   alpha, rho_v_d, blocks, row, cfg)
+                e, t, mu_f, sig_f, nmu_f, nsig_f, tv_add, vc = out
+                outs = (mu_f[None][None], sig_f[None][None],
+                        nmu_f[None][None], nsig_f[None][None])
+            else:
+                out = ovb_v_block(e, t, mu_s[0].T, sig_s[0].T, nmu_s[0].T,
+                                  nsig_s[0].T, sv_s[0].T, alpha, rho_v_d,
+                                  blocks, row, cfg, None)
+                e, t, mu_t, sig_t, nmu_t, nsig_t, tv_add, vc = out
+                outs = (mu_t.T[None], sig_t.T[None], nmu_t.T[None],
+                        nsig_t.T[None])
+            vcnt = vc
         else:
-            (e, t, tv_add, vcnt), outs = jax.lax.scan(blk_step, carry0, xs)
+            xs = (mu_s, sig_s, nmu_s, nsig_s, sv_s)
+            if fmask is not None:
+                xs = xs + (fmask,)
+            xs = xs + (jnp.roll(mu_s, -1, axis=0),
+                       jnp.roll(sig_s, -1, axis=0))
+            qtz0 = (_qtz_flat(mu_s[0, 0], sig_s[0, 0], e, row) if use_flat
+                    else _qtz_generic(mu_s[0].T, sig_s[0].T, row))
+            carry0 = (e, t, jnp.zeros((D,), dtype), (z32,) * 4, qtz0)
+            (e, t, tv_add, vcnt, _qtz_end), outs = jax.lax.scan(
+                blk_step, carry0, xs)
         for k, val in zip(("nan_mu_v_dash", "inf_mu_v_dash",
                            "nan_sigma_v_dash", "inf_sigma_v_dash"), vcnt):
             counters[k] = counters[k] + val
@@ -390,12 +420,52 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
     return new_state, fe, dict(counters)
 
 
+def _qtz_generic(mu_t, sig_t, row):
+    """q/tq/tz caches [N, F] for a factor block (add_main_q,
+    fm_learn_vb_online.h:375-407) — one [N, P, 2F] channel gather."""
+    F = mu_t.shape[1]
+    x_re = row.vals[:, :, None]
+    x2_re = x_re * x_re
+    ptab = jnp.concatenate([mu_t, sig_t], axis=-1)
+    pg = take_rows(ptab, row.ids)  # [N, P, 2F]
+    mug, sigg = pg[..., :F], pg[..., F:]
+    q = (mug * x_re).sum(1) * row.valid[:, None]
+    tq = (sigg * x2_re).sum(1) * row.valid[:, None]
+    tz = (mug * mug * x2_re).sum(1) * row.valid[:, None]
+    return q, tq, tz
+
+
+def _qtz_flat(mu_d, sig_d, e_like, row):
+    """Flat q/tq/tz caches [N] (F=1): per-position [2, N] channel
+    gathers, pad-free."""
+    ptabT = jnp.stack([mu_d, sig_d], axis=0)  # [2, D]
+    q = jnp.zeros_like(e_like)
+    tq = jnp.zeros_like(e_like)
+    tz = jnp.zeros_like(e_like)
+    for p in range(row.ids.shape[1]):
+        g = take_cols(ptabT, row.ids[:, p])  # [2, N]
+        xp = row.vals[:, p]
+        x2p = xp * xp
+        q = q + g[0] * xp
+        tq = tq + g[1] * x2p
+        tz = tz + g[0] * g[0] * x2p
+    return q * row.valid, tq * row.valid, tz * row.valid
+
+
 def ovb_v_block(e, t, mu_t, sig_t, nmu_t, nsig_t, sv_t, alpha, rho_v_d,
-                blocks, row, cfg: FMConfig, fmask=None):
+                blocks, row, cfg: FMConfig, fmask=None, qtz=None,
+                next_ptab=None):
     """Online v update for a block of F factors (channel-stacked gathers,
     same execution scheme as vb.vb_v_block_update).  The last return value
     is the (nan_mu, inf_mu, nan_sig, inf_sig) candidate counts for the
-    block (int32 scalars, summed into the chunk counters by the caller)."""
+    block (int32 scalars, summed into the chunk counters by the caller).
+
+    ``qtz``/``next_ptab`` implement pass pipelining across the
+    factor-sequential scan (see ovb_v_factor's docstring): prebuilt
+    caches skip the [N, P, 2F] build gather, and the last bin's delta
+    gather also carries the NEXT block's ([D, 2F]) build channels,
+    returning its caches as a trailing element — one full [N*P]-index
+    pass saved per factor block, bit-identical values."""
     from svbfm_tpu.learners.mcmc import _count_bad
 
     local: dict = {}
@@ -406,14 +476,14 @@ def ovb_v_block(e, t, mu_t, sig_t, nmu_t, nsig_t, sv_t, alpha, rho_v_d,
     x2_re = x_re * x_re
     tv_add = jnp.zeros((D,), dtype)
 
-    ptab = jnp.concatenate([mu_t, sig_t], axis=-1)
-    pg = take_rows(ptab, ids)  # [N, P, 2F]
-    mug, sigg = pg[..., :F], pg[..., F:]
-    q = (mug * x_re).sum(1) * row.valid[:, None]
-    tq = (sigg * x2_re).sum(1) * row.valid[:, None]
-    tz = (mug * mug * x2_re).sum(1) * row.valid[:, None]
+    if qtz is not None:
+        q, tq, tz = qtz
+    else:
+        q, tq, tz = _qtz_generic(mu_t, sig_t, row)
+    nqtz = None
 
-    for bin_blocks in blocks:
+    for bi, bin_blocks in enumerate(blocks):
+        last_bin = bi == len(blocks) - 1
         mu_old_t, sig_old_t = mu_t, sig_t
         dmu_d = jnp.zeros((D, F), dtype)
         dsig_d = jnp.zeros((D, F), dtype)
@@ -467,9 +537,12 @@ def ovb_v_block(e, t, mu_t, sig_t, nmu_t, nsig_t, sv_t, alpha, rho_v_d,
             dmu2_d = dmu2_d.at[blk.cols].set(mu_new * mu_new - mu_c * mu_c)
             tv_add = tv_add.at[blk.cols].add(jnp.where(active[:, 0], blk.cnt, 0.0))
 
-        dtab = jnp.concatenate([mu_old_t, sig_old_t, dmu_d, dsig_d, dmu2_d],
-                               axis=-1)
-        gg = take_rows(dtab, ids)  # [N, P, 5F]
+        merge_next = last_bin and next_ptab is not None
+        parts = [mu_old_t, sig_old_t, dmu_d, dsig_d, dmu2_d]
+        if merge_next:
+            parts.append(next_ptab)  # [D, 2Fn]
+        dtab = jnp.concatenate(parts, axis=-1)
+        gg = take_rows(dtab, ids)  # [N, P, 5F(+2Fn)]
         mu_e = gg[..., 0 * F:1 * F]
         sig_e = gg[..., 1 * F:2 * F]
         dmu_e = gg[..., 2 * F:3 * F]
@@ -484,16 +557,25 @@ def ovb_v_block(e, t, mu_t, sig_t, nmu_t, nsig_t, sv_t, alpha, rho_v_d,
         tz = tz + (x2_re * dmu2_e).sum(1) * vmask
         e = e - (he * dmu_e).sum((1, 2)) * row.valid
         t = t + (((h1e + h2e) * dsig_e + h1e * dmu2_e)).sum((1, 2)) * row.valid
+        if merge_next:
+            Fn = next_ptab.shape[1] // 2
+            mug_n = gg[..., 5 * F:5 * F + Fn]
+            sigg_n = gg[..., 5 * F + Fn:]
+            nqtz = ((mug_n * x_re).sum(1) * vmask,
+                    (sigg_n * x2_re).sum(1) * vmask,
+                    (mug_n * mug_n * x2_re).sum(1) * vmask)
     z32 = jnp.zeros((), jnp.int32)
     vc = (jnp.asarray(local.get("nan_mu_v_dash", z32), jnp.int32),
           jnp.asarray(local.get("inf_mu_v_dash", z32), jnp.int32),
           jnp.asarray(local.get("nan_sigma_v_dash", z32), jnp.int32),
           jnp.asarray(local.get("inf_sigma_v_dash", z32), jnp.int32))
+    if next_ptab is not None:
+        return e, t, mu_t, sig_t, nmu_t, nsig_t, tv_add, vc, nqtz
     return e, t, mu_t, sig_t, nmu_t, nsig_t, tv_add, vc
 
 
 def ovb_v_factor(e, t, mu_d, sig_d, nmu_d, nsig_d, sv_d, alpha, rho_v_d,
-                 blocks, row, cfg: FMConfig):
+                 blocks, row, cfg: FMConfig, qtz=None, next_ptab=None):
     """F=1 FLAT specialization of :func:`ovb_v_block` — the hot path, since
     online natural-gradient updates must stay factor-sequential (see
     OVBLearner.__init__).
@@ -506,7 +588,17 @@ def ovb_v_factor(e, t, mu_d, sig_d, nmu_d, nsig_d, sv_d, alpha, rho_v_d,
     2.6M-row chunks: the [N, P, 5] delta gather alone padded to 8.8 GiB).
     Per-position gathers from [CH, D] channel-stacked tables keep the
     gather cost per index-pass while every buffer stays pad-free
-    (fm_learn_vb_online.h:560-627 semantics throughout)."""
+    (fm_learn_vb_online.h:560-627 semantics throughout).
+
+    Pass pipelining across the factor-sequential scan: with ``qtz`` the
+    q/tq/tz caches arrive prebuilt (by the PREVIOUS factor's last delta
+    pass) and the build gather is skipped; with ``next_ptab`` ([2, D]
+    stacked mu/sig of the NEXT factor) the last bin's delta gather also
+    carries the next factor's build channels and the next-factor caches
+    ride the return value — one full [N*P]-index pass saved per factor
+    (the epoch is gather-pass bound: K=10 measures exactly half of
+    K=20).  Values are bit-identical: the merged channels read the same
+    tables with the same arithmetic."""
     from svbfm_tpu.learners.mcmc import _count_bad
 
     local: dict = {}
@@ -515,23 +607,14 @@ def ovb_v_factor(e, t, mu_d, sig_d, nmu_d, nsig_d, sv_d, alpha, rho_v_d,
     ids, x_r = row.ids, row.vals
     tv_add = jnp.zeros((D,), dtype)
 
-    # q/tq/tz caches via one [2, N] channel gather per nnz position
-    ptabT = jnp.stack([mu_d, sig_d], axis=0)  # [2, D]
-    q = jnp.zeros_like(e)
-    tq = jnp.zeros_like(e)
-    tz = jnp.zeros_like(e)
-    for p in range(ids.shape[1]):
-        g = take_cols(ptabT, ids[:, p])  # [2, N]
-        xp = x_r[:, p]
-        x2p = xp * xp
-        q = q + g[0] * xp
-        tq = tq + g[1] * x2p
-        tz = tz + g[0] * g[0] * x2p
-    q = q * row.valid
-    tq = tq * row.valid
-    tz = tz * row.valid
+    if qtz is not None:
+        q, tq, tz = qtz
+    else:
+        q, tq, tz = _qtz_flat(mu_d, sig_d, e, row)
+    nq = ntq = ntz = None
 
-    for bin_blocks in blocks:
+    for bi, bin_blocks in enumerate(blocks):
+        last_bin = bi == len(blocks) - 1
         mu_old, sig_old = mu_d, sig_d
         dmu_v = jnp.zeros((D,), dtype)
         dsig_v = jnp.zeros((D,), dtype)
@@ -578,15 +661,24 @@ def ovb_v_factor(e, t, mu_d, sig_d, nmu_d, nsig_d, sv_d, alpha, rho_v_d,
             tv_add = tv_add.at[blk.cols].add(jnp.where(active, blk.cnt, 0.0))
 
         # apply the bin's deltas to e/t/q/tq/tz via one [5, N] channel
-        # gather per position (the generic path's [N, P, 5] form)
-        dtabT = jnp.stack([mu_old, sig_old, dmu_v, dsig_v, dmu2_v], axis=0)
+        # gather per position (the generic path's [N, P, 5] form); the
+        # LAST bin's gather also carries the next factor's mu/sig build
+        # channels (pass pipelining — see docstring)
+        merge_next = last_bin and next_ptab is not None
+        parts = [mu_old, sig_old, dmu_v, dsig_v, dmu2_v]
+        if merge_next:
+            parts += [next_ptab[0], next_ptab[1]]
+            nq = jnp.zeros_like(e)
+            ntq = jnp.zeros_like(e)
+            ntz = jnp.zeros_like(e)
+        dtabT = jnp.stack(parts, axis=0)
         dq = jnp.zeros_like(e)
         dtq = jnp.zeros_like(e)
         dtz = jnp.zeros_like(e)
         de = jnp.zeros_like(e)
         dt = jnp.zeros_like(e)
         for p in range(ids.shape[1]):
-            g = take_cols(dtabT, ids[:, p])  # [5, N]
+            g = take_cols(dtabT, ids[:, p])  # [5(+2), N]
             mu_e, sig_e, dmu_e, dsig_e, dmu2_e = g[0], g[1], g[2], g[3], g[4]
             xp = x_r[:, p]
             x2p = xp * xp
@@ -598,17 +690,27 @@ def ovb_v_factor(e, t, mu_d, sig_d, nmu_d, nsig_d, sv_d, alpha, rho_v_d,
             dtz = dtz + x2p * dmu2_e
             de = de + he * dmu_e
             dt = dt + (h1e + h2e) * dsig_e + h1e * dmu2_e
+            if merge_next:
+                nq = nq + g[5] * xp
+                ntq = ntq + g[6] * x2p
+                ntz = ntz + g[5] * g[5] * x2p
         q = q + dq * row.valid
         tq = tq + dtq * row.valid
         tz = tz + dtz * row.valid
         e = e - de * row.valid
         t = t + dt * row.valid
+        if merge_next:
+            nq = nq * row.valid
+            ntq = ntq * row.valid
+            ntz = ntz * row.valid
 
     z32 = jnp.zeros((), jnp.int32)
     vc = (jnp.asarray(local.get("nan_mu_v_dash", z32), jnp.int32),
           jnp.asarray(local.get("inf_mu_v_dash", z32), jnp.int32),
           jnp.asarray(local.get("nan_sigma_v_dash", z32), jnp.int32),
           jnp.asarray(local.get("inf_sigma_v_dash", z32), jnp.int32))
+    if next_ptab is not None:
+        return e, t, mu_d, sig_d, nmu_d, nsig_d, tv_add, vc, (nq, ntq, ntz)
     return e, t, mu_d, sig_d, nmu_d, nsig_d, tv_add, vc
 
 
