@@ -423,10 +423,17 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
             v_sig = _psum(v_sig)
 
             sigma_new = 1.0 / (sv_g + alpha * v_sig)
-            nan_v = nan_v + _nonfinite(sigma_new)
+            # padded lanes are excluded from the nan counters: the fused
+            # caller fills them with benign 1.0 tables, but the staged
+            # b_stage clamps them to factor K-1, which would double-count
+            # that factor's non-finite candidates
+            nan_v = nan_v + _nonfinite(
+                sigma_new if fmask is None
+                else jnp.where(fmask, sigma_new, 1.0))
             sigma_new = keep_finite(sigma_new, sig_c)
             mu_new = sigma_new * alpha * v_mean
-            nan_v = nan_v + _nonfinite(mu_new)
+            nan_v = nan_v + _nonfinite(
+                mu_new if fmask is None else jnp.where(fmask, mu_new, 1.0))
             mu_new = keep_finite(mu_new, mu_c)
             if fmask is not None:  # padded factors: freeze
                 mu_new = jnp.where(fmask, mu_new, mu_c)
@@ -1095,7 +1102,7 @@ class VBLearner:
         return fnC(state, nan_v, self.train_row, self.plan_data,
                    self.test_row, *rest)
 
-    def _init_target(self, n_pad: int, lo: int, hi: int):
+    def _init_target(self, lo: int, hi: int):
         """[lo:hi) slice of the quantum-padded train targets, from the
         device copy when it exists (classification) or the host copy
         (regression — the device placeholder is zero-length)."""
@@ -1128,7 +1135,7 @@ class VBLearner:
                   p["sigma_v_dash"])
             for lo in range(0, n_rows, row_chunk):
                 hi = min(lo + row_chunk, n_rows)
-                parts_e.append(self._init_target(n_rows, lo, hi)
+                parts_e.append(self._init_target(lo, hi)
                                - self._scores(sc, ids[lo:hi], vals[lo:hi]))
                 parts_t.append(self._tterms(tc, ids[lo:hi], vals[lo:hi]))
                 jax.block_until_ready(parts_t[-1])  # bound in-flight temps
@@ -1137,7 +1144,7 @@ class VBLearner:
         else:
             yhat = self._scores((p["mu_0"], p["mu_w"], p["mu_v"]), ids, vals)
             # e = y - yhat (VB sign)
-            e = self._init_target(n_rows, 0, n_rows) - yhat
+            e = self._init_target(0, n_rows) - yhat
             t = self._tterms((p["sigma_0_dash"], p["sigma_w_dash"],
                               p["mu_v"], p["sigma_v_dash"]), ids, vals)
         state = VBState(e=e, t=t, **p)
@@ -1188,7 +1195,13 @@ class VBLearner:
         sweeps per XLA invocation; default: whole run if <= 25, else 10).
         Pass a :class:`svbfm_tpu.utils.checkpoint.CheckpointManager` as
         ``ckpt`` to checkpoint every ``ckpt_every`` iterations and resume
-        from the latest checkpoint if one exists."""
+        from the latest checkpoint if one exists.
+
+        The passed ``state``'s device buffers are DONATED to the fused
+        programs (they alias in place — the e/t caches alone are ~0.8 GB
+        at 100M rows): treat it as consumed, like any donated JAX array,
+        and continue from the returned state.  (On the CPU test backend
+        donation is a no-op, so misuse only surfaces on TPU.)"""
         cfg = self.cfg
         if state is None:
             state = self.init_state()

@@ -432,7 +432,8 @@ class TPMCMCLearner(MCMCLearner):
         from svbfm_tpu.parallel.tp_vb import check_tp_memory_budget
         check_tp_memory_budget(self.plan_data,
                                self.train_row.ids.shape[0] // Sd,
-                               cfg.num_factor, type(self).__name__)
+                               cfg.num_factor, type(self).__name__,
+                               channels=3 * max(cfg.num_factor, 1) + 2)
         self._build_jits()
 
     def _put_row(self, ds: SparseDataset, Sd: int):

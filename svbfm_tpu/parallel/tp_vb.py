@@ -45,8 +45,7 @@ from svbfm_tpu.learners.base import (
     TrajectoryFile,
     keep_finite,
 )
-from svbfm_tpu.learners.vb import (_col_tile_count, _patch_channels,
-                                   _row_tile_count, init_vb_params)
+from svbfm_tpu.learners.vb import _patch_channels, init_vb_params
 from svbfm_tpu.ops.segment import take_rows
 from svbfm_tpu.parallel.mesh import DATA_AXIS, FEATURE_AXIS
 
@@ -154,25 +153,41 @@ def _build_tp_plan(mesh, plan: SweepPlan, meta: DataMetaInfo, D: int):
     ), D_loc
 
 
+# Per-device capacity left for the TP kernels' one-shot temps after
+# data/params (v5e: 15.75 GiB HBM; rows+plan+caches typically take ~half).
+# Module-level so tests can shrink them to trip the guard at small shapes.
+TP_STACK_BYTES = 6 * 1024**3
+TP_COL_BYTES = 2 * 1024**3
+
+
 def check_tp_memory_budget(plan_data: TPPlanData, n_loc: int, K: int,
-                           learner: str) -> None:
+                           learner: str, channels: int | None = None) -> None:
     """Fail LOUDLY when a TP sweep's unbounded temps would need the
     replicated learners' memory tiling (which the TP kernels do not
     implement: their [1+2K, N]/[3K+2, N] channel stacks and per-bin
-    [1+2K, C, L] gathers are single-shot).  Uses the SAME budget helpers
-    as learners/vb.py so the threshold cannot drift from the tiling
-    decisions.  Raises RuntimeError with remedies instead of letting the
-    compile (or the device) blow HBM silently."""
+    [1+2K, C, L] gathers are single-shot).  The thresholds are absolute
+    HBM capacity budgets — NOT the 1-GiB tiling trigger the replicated
+    kernels use: TP's single-shot temps may legitimately occupy several
+    GiB before anything overflows, and gating on the tiling trigger
+    rejected workloads that compiled and ran fine.  Raises RuntimeError
+    with remedies instead of letting the compile (or the device) blow
+    HBM silently."""
     problems = []
     F = max(K, 1)
-    if _row_tile_count(n_loc, _patch_channels(F, True)) > 1:
+    ch = channels if channels is not None else _patch_channels(F, True)
+    ch_pad = -(-ch // 8) * 8
+    if n_loc * ch_pad * 4 > TP_STACK_BYTES:
         problems.append(
-            f"row caches: [~{5 * F + 2}, {n_loc}] per-bin patch stack")
+            f"row caches: [~{ch}, {n_loc}] per-bin patch stack "
+            f"({n_loc * ch_pad * 4 / 2**30:.1f} GiB padded)")
     for bin_blocks in plan_data.blocks:
         for blk in bin_blocks:
             C, L = blk.rows.shape[-2:]
-            if _col_tile_count(C, L, F) > 1:
-                problems.append(f"column block [{C}, {L}] stats gather")
+            per_col = (-(-L // 8) * 8) * max(128, -(-(1 + 2 * F) // 128) * 128)
+            if C * per_col * 4 > TP_COL_BYTES:
+                problems.append(
+                    f"column block [{C}, {L}] stats gather "
+                    f"({C * per_col * 4 / 2**30:.1f} GiB padded)")
                 break
     if problems:
         raise RuntimeError(

@@ -125,10 +125,13 @@ def test_tp_budget_check_fails_loudly(monkeypatch):
     from svbfm_tpu.parallel.tp_mcmc import TPMCMCLearner
     from svbfm_tpu.parallel.tp_vb import TPVBLearner
 
+    from svbfm_tpu.parallel import tp_vb as tpmod
+
     cfg, tr_ds, te_ds, meta, D = _tp_train_setup()
-    # shrink the shared budget so this small problem trips the same
-    # predicate a 100M-row problem would trip at the real budget
-    monkeypatch.setattr(vbmod, "VB_TILE_BUDGET", 1024)
+    # shrink the capacity budgets so this small problem trips the same
+    # predicate an oversized problem would trip at the real budgets
+    monkeypatch.setattr(tpmod, "TP_STACK_BYTES", 64)
+    monkeypatch.setattr(tpmod, "TP_COL_BYTES", 64)
     mesh = make_mesh2d(n_data=2, n_feature=4)
     with pytest.raises(RuntimeError, match="replicated learner"):
         TPVBLearner(cfg, tr_ds, te_ds, meta, mesh=mesh)

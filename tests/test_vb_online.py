@@ -211,3 +211,24 @@ def test_ovb_v_factor_matches_generic_block():
                                    rtol=2e-6, atol=2e-7, err_msg=name)
     np.testing.assert_allclose(np.asarray(out_g[6]), np.asarray(out_f[6]))
     assert all(int(a) == int(b) for a, b in zip(out_g[7], out_f[7]))
+
+
+def test_ovb_flat_pipelined_matches_generic_trajectory(monkeypatch):
+    """The production KDD configuration — flat F=1 v-sweep with the
+    pass-pipelined factor scan (qtz carry + next_ptab merge) — must
+    reproduce the generic path's trajectory exactly; only layouts and
+    gather packing differ."""
+    tr, te, cfg, meta, lg = _setup(num_rows=600, num_users=19, num_items=15,
+                                   K=4, factor_block=1, num_batches=4)
+    sg, hg = lg.run(num_iter=4, verbose=False)
+
+    monkeypatch.setenv("SVBFM_OVB_FLAT", "1")
+    *_x, lf = _setup(num_rows=600, num_users=19, num_items=15,
+                     K=4, factor_block=1, num_batches=4)
+    sf, hf = lf.run(num_iter=4, verbose=False)
+    for rg, rf in zip(hg, hf):
+        np.testing.assert_allclose(rf["rmse"], rg["rmse"], rtol=1e-6)
+        np.testing.assert_allclose(rf["free_energy"], rg["free_energy"],
+                                   rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sf.mu_v), np.asarray(sg.mu_v),
+                               rtol=1e-5, atol=1e-7)
