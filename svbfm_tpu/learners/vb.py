@@ -811,6 +811,26 @@ class VBLearner:
                                     meta_groups=meta.attr_group, bins=bins, n_shards=n)
         self.train_row, self.train_n = build_row_data(self.mesh, train)
         self.test_row, self.test_n = build_row_data(self.mesh, test)
+        # Huge-N protection at the factor_block=0 default: a monolithic
+        # fused sweep whose duration would clear the ~40 s single-execution
+        # kill (see VB_STAGE_UNITS; fused work is ~invariant in the
+        # blocking — total patch channels ≈ 5K either way) must run the
+        # staged per-block path, which requires a factor blocking.
+        # Auto-select the empirically optimal block (fb=4 at Netflix-100M,
+        # PARITY_RUNS round 4) rather than crash the TPU worker; this
+        # switches the w sweep from merged fast-mode to the reference's
+        # standalone ordering — warn loudly.
+        if cfg.factor_block == 0 and cfg.num_factor > 0:
+            n_loc = self.train_row.ids.shape[0] // n
+            fb = min(4, cfg.num_factor)
+            if n_loc * (-(-cfg.num_factor // fb)) > VB_STAGE_UNITS:
+                import dataclasses
+                print(f"# WARNING: problem size exceeds the safe "
+                      f"single-program duration; auto-selecting "
+                      f"-factor_block {fb} (staged sweep, exact-ordering "
+                      f"w semantics). Pass -factor_block to override.")
+                cfg = dataclasses.replace(cfg, factor_block=fb)
+                self.cfg = cfg
         # per-iteration eval subsetting + held-back remainder (rmse_test2_*)
         # — fm_learn_vb_simultaneous.h:220-232 (see MCMCLearner.__init__)
         self._rest_valid = None
@@ -988,11 +1008,22 @@ class VBLearner:
         duration (see VB_STAGE_UNITS) and the sweep is splittable."""
         import os
         ov = os.environ.get("SVBFM_VB_STAGED")
-        if ov in ("0", "1"):
-            return ov == "1"
         cfg = self.cfg
-        if cfg.num_factor <= 0 or cfg.factor_block < 1:
+        if ov == "0":
             return False
+        if cfg.num_factor <= 0 or cfg.factor_block < 1:
+            # unsplittable: the staged path requires a factor blocking
+            # (factor_block=0 fast-mode numerics — merged w sweep — have
+            # no staged equivalent).  Forcing it anyway would silently run
+            # exact-ordering semantics; refuse loudly instead.
+            if ov == "1":
+                raise ValueError(
+                    "SVBFM_VB_STAGED=1 requires num_factor > 0 and "
+                    "factor_block >= 1 (the staged path splits the sweep "
+                    "by factor block); pass -factor_block")
+            return False
+        if ov == "1":
+            return True
         _F, nb = self._stage_layout()
         n_loc = self.train_row.ids.shape[0] // self.mesh.devices.size
         return n_loc * nb > VB_STAGE_UNITS
@@ -1189,7 +1220,7 @@ class VBLearner:
 
     def run(self, state: Optional[VBState] = None, num_iter: Optional[int] = None,
             verbose: bool = True, chunk: Optional[int] = None,
-            ckpt=None, ckpt_every: int = 10):
+            ckpt=None, ckpt_every: int = 10, donate: bool = True):
         """Train for ``num_iter`` sweeps; per-iteration test metrics are
         computed on-device inside fused multi-iteration programs (``chunk``
         sweeps per XLA invocation; default: whole run if <= 25, else 10).
@@ -1197,14 +1228,21 @@ class VBLearner:
         ``ckpt`` to checkpoint every ``ckpt_every`` iterations and resume
         from the latest checkpoint if one exists.
 
-        The passed ``state``'s device buffers are DONATED to the fused
-        programs (they alias in place — the e/t caches alone are ~0.8 GB
-        at 100M rows): treat it as consumed, like any donated JAX array,
-        and continue from the returned state.  (On the CPU test backend
-        donation is a no-op, so misuse only surfaces on TPU.)"""
+        With ``donate=True`` (default) the passed ``state``'s device
+        buffers are DONATED to the fused programs (they alias in place —
+        the e/t caches alone are ~0.8 GB at 100M rows): treat it as
+        consumed, like any donated JAX array, and continue from the
+        returned state.  (On the CPU test backend donation is a no-op, so
+        misuse only surfaces on TPU.)  Library callers that want to reuse
+        the passed state (e.g. rerun from the same init) should pass
+        ``donate=False``, which copies it once up front."""
         cfg = self.cfg
         if state is None:
             state = self.init_state()
+        elif donate is False:
+            # one-time defensive copy so the caller's buffers survive the
+            # donated program calls
+            state = self._place(jax.tree.map(jnp.array, state))
         num_iter = num_iter if num_iter is not None else cfg.num_iter
         staged = self._staged_mode()
         if chunk is None:
@@ -1253,6 +1291,16 @@ class VBLearner:
                        "time_pred": time_pred}
                 if not self.plan.conflict_free:
                     rec["conflict_free"] = False  # Jacobi-bin approximation
+                    # the tz-free patch fold (vb_v_block_update) is exact
+                    # only for conflict-free bins; flag the extra
+                    # approximation layer when both are active
+                    K = cfg.num_factor
+                    F = (min(max(cfg.factor_block, 1), K) if
+                         cfg.factor_block > 0 else K)
+                    n_loc = (self.train_row.ids.shape[0]
+                             // self.mesh.devices.size)
+                    if K > 0 and _drop_tz_carry(n_loc, F):
+                        rec["tz_free_approx"] = True
                 # vector metrics ([G]/[G,K] precision traces) stay arrays
                 rec.update({k: (float(v[j]) if v[j].ndim == 0 else v[j])
                             for k, v in metrics.items()})
