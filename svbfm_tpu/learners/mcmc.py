@@ -54,6 +54,7 @@ from svbfm_tpu.learners.base import (
     plan_specs_for,
     ref_cdf_gaussian,
 )
+from svbfm_tpu.learners.vb import _exact_tile_len
 from svbfm_tpu.models.fm import init_fm_params
 from svbfm_tpu.ops.forward import fm_scores
 from svbfm_tpu.parallel.mesh import DATA_AXIS, make_mesh
@@ -262,6 +263,44 @@ def _v_blocked_sweep(e, v, v_mu, v_lambda, alpha, plan, row, cfg, F, key,
     return e, v, key
 
 
+def _pvary(x):
+    """Type a shard-local constant as varying over the data axis (fori
+    carries must type-match their body outputs under shard_map)."""
+    return jax.lax.pcast(x, (DATA_AXIS,), to="varying")
+
+
+# One fused draw_all beyond this many work units (shard-local rows x
+# factor blocks) is split into per-stage programs (A: scalar draws + w
+# sweep / B: one factor block / C: re-predict + eval): single XLA
+# executions much past ~40 s kill the remotely-attached TPU worker
+# (CLAUDE.md; calibrated on VB: 49M rows x 5 blocks = 2.45e8 units =
+# 34 s runs, 100M x 5 dies).  MCMC adds the cross-factor M einsum per
+# bucket, so the threshold sits slightly lower than vb.VB_STAGE_UNITS.
+MCMC_STAGE_UNITS = 2.0e8
+
+
+# Budget for one big temp set in PADDED f32 elements (~4 GB).  Deliberately
+# larger than learners.vb's VB_TILE_BUDGET: it is calibrated so every
+# verified fused config (<= ML-10M rows at K=20) stays UNTILED — tiled
+# sweeps require chunk=1 (a tiling fori nested inside the fused iteration
+# scan miscompiles on this stack, CLAUDE.md) and the 10M fused chunk=5
+# path at 1.49 s/iter must not regress.  Huge-N problems (Netflix 100M)
+# cross it and run tiled + staged.  Module variable so tests can lower it.
+MCMC_TILE_BUDGET = 1_000_000_000
+
+
+def _mc_row_tiles(n_loc: int, CH: int) -> int:
+    """Row-tile count for CH-channel-stacked [CH, N] gather temps."""
+    return max(1, -(-(n_loc * (-(-CH // 8) * 8)) // MCMC_TILE_BUDGET))
+
+
+def _mc_col_tiles(C: int, L: int, F: int) -> int:
+    """Column-tile count for a bucket's stats pass: the [1+F, Ct, L]
+    gather result plus the [F, Ct, L] h temp, last dims padded (8, 128)."""
+    per_col = (1 + 2 * F) * (-(-L // 128) * 128)
+    return max(1, -(-(C * per_col) // MCMC_TILE_BUDGET))
+
+
 def _v_block_pass(e, v_t, mu_t, lam_t, key, plan, row, cfg, alpha,
                   exact_seq=True, q_extra=None, counters=None):
     """One factor-block bin sweep over the MAIN design (the body of
@@ -270,10 +309,21 @@ def _v_block_pass(e, v_t, mu_t, lam_t, key, plan, row, cfg, alpha,
     ``v_t``/``mu_t``/``lam_t`` are [D, F].  ``q_extra`` ([F, N], optional)
     adds non-main contributions to the q cache — the BS learner passes the
     per-relation qB gathers so h sees the TOTAL q (fm_learn_mcmc.h:510-560).
-    Returns ``(e, v_t, q, key)`` with q the post-sweep total q cache."""
+    Returns ``(e, v_t, q, key)`` with q the post-sweep total q cache.
+
+    Memory discipline at huge N (Netflix 100M on one chip): the q build,
+    the per-bucket stats gathers, and the per-bin cache patch are tiled
+    (row tiles via in-place fori dynamic slices, column tiles with the
+    stats reduction fused in) whenever their channel-stacked temps would
+    exceed :data:`MCMC_TILE_BUDGET` — same scheme as
+    ``vb.vb_v_block_update``, bitwise-identical results (tiles split only
+    independent rows/columns; every reduction keeps its axis intact).
+    Tiled sweeps must run one iteration per program (nested-scan
+    miscompile; ``MCMCLearner._needs_tiling`` forces chunk=1)."""
     D, F = v_t.shape
     dtype = v_t.dtype
     ids, x_r = row.ids, row.vals
+    n_loc, P_row = ids.shape
     if cfg.do_sample:
         # ONE [F, D] standard-normal table per block step: every column
         # is drawn exactly once per sweep (one bucket of one bin), so a
@@ -281,43 +331,112 @@ def _v_block_pass(e, v_t, mu_t, lam_t, key, plan, row, cfg, alpha,
         # split/normal chain that serializes the program on the key.
         key, kb = jax.random.split(key)
         z_d = jax.random.normal(kb, (F, D), dtype)
-    q = (jnp.zeros((F, x_r.shape[0]), dtype) if q_extra is None
-         else q_extra)
     v_tt = v_t.T  # [F, D]
-    for p in range(ids.shape[1]):
-        q = q + jnp.take(v_tt, ids[:, p], axis=-1) * x_r[:, p][None]
+
+    # --- q build (one flat gather per row position), row-tiled at huge N ---
+    def build_q(ids_t, x_t, q0):
+        for p in range(P_row):
+            q0 = q0 + jnp.take(v_tt, ids_t[:, p], axis=-1) * x_t[:, p][None]
+        return q0
+
+    rtb = _mc_row_tiles(n_loc, F)
+    ntb = None if rtb == 1 else _exact_tile_len(n_loc, rtb)
+    q0 = (jnp.zeros((F, n_loc), dtype) if q_extra is None else q_extra)
+    if ntb is None:
+        q = build_q(ids, x_r, q0)
+    else:
+        if q_extra is None:
+            q0 = _pvary(q0)
+
+        def bbody(i, qc):
+            lo = i * ntb
+            out = build_q(
+                jax.lax.dynamic_slice_in_dim(ids, lo, ntb, 0),
+                jax.lax.dynamic_slice_in_dim(x_r, lo, ntb, 0),
+                jax.lax.dynamic_slice_in_dim(qc, lo, ntb, -1))
+            return jax.lax.dynamic_update_slice_in_dim(qc, out, lo, -1)
+
+        q = jax.lax.fori_loop(0, n_loc // ntb, bbody, q0)
+
     for bin_blocks in plan.blocks:
         v_old_t = v_t
         dv_d = jnp.zeros((D, F), dtype)
         eq_t = jnp.concatenate([e[None], q], axis=0)  # [1+F, N]
         for blk in bin_blocks:
             C, L = blk.rows[0].shape
-            g = jnp.take(eq_t, blk.rows[0].reshape(-1), axis=-1)
-            g = g.reshape(1 + F, C, L)
-            e_g = g[0]
-            q_g = g[1:]  # [F, C, L]
-            x = blk.x[0]  # [C, L]
             v_c = take_rows(v_old_t, blk.cols)  # [C, F]
             mu_g = take_rows(mu_t, blk.cols)
             lam_g = take_rows(lam_t, blk.cols)
-            # batched statistics (one psum): h, she vs pre-bin e, sh2,
-            # and the cross-factor matrix M for the sequential-draw
-            # corrections (see docstring)
-            h = x[None] * (q_g - x[None] * v_c.T[:, :, None])  # [F, C, L]
-            s0 = (h * e_g[None]).sum(-1)  # [F, C]
-            # sh2 (the conditional-variance denominator) always comes
-            # from the full-f32 VPU sum; the cross-factor matrix M is
-            # MXU work and must force f32 accumulation (Precision
-            # DEFAULT would drop it to bf16 on TPU and break the exact-
-            # conditionals contract)
-            sh2_raw = (h * h).sum(-1)  # [F, C]
+
+            def tile_stats(rows_t, x_t, v_ct):
+                # rows_t/x_t [Ct, L]; batched statistics: h, she vs
+                # pre-bin e, sh2, and the cross-factor matrix M for the
+                # sequential-draw corrections (see docstring)
+                g = jnp.take(eq_t, rows_t.reshape(-1), axis=-1)
+                g = g.reshape(1 + F, *rows_t.shape)
+                e_g = g[0]
+                q_g = g[1:]  # [F, Ct, L]
+                xb = x_t[None]
+                h = xb * (q_g - xb * v_ct.T[:, :, None])  # [F, Ct, L]
+                s0 = (h * e_g[None]).sum(-1)  # [F, Ct]
+                # sh2 (the conditional-variance denominator) always comes
+                # from the full-f32 VPU sum; the cross-factor matrix M is
+                # MXU work and must force f32 accumulation (Precision
+                # DEFAULT would drop it to bf16 on TPU and break the
+                # exact-conditionals contract)
+                sh2 = (h * h).sum(-1)  # [F, Ct]
+                m_x = (jnp.einsum("fcl,gcl->fgc", h, h,
+                                  precision=jax.lax.Precision.HIGHEST)
+                       if exact_seq else None)
+                return s0, sh2, m_x
+
+            ct = _mc_col_tiles(C, L, F)
+            if ct == 1:
+                s0, sh2_raw, m_x = tile_stats(blk.rows[0], blk.x[0], v_c)
+            else:
+                # fori over overlap-clamped column tiles writing into
+                # preallocated stats buffers; stats are pure functions of
+                # pre-bin state, so the overlapped tail recomputing a
+                # column and rewriting the same value is harmless
+                Ct = min(C, -(-(-(-C // ct)) // 8) * 8)  # ceil8 tile
+                nct = -(-C // Ct)
+                rows_a, x_a = blk.rows[0], blk.x[0]
+                lo_max = C - Ct
+
+                def cbody(i, acc):
+                    lo = jnp.minimum(i * Ct, lo_max)
+                    outs = tile_stats(
+                        jax.lax.dynamic_slice_in_dim(rows_a, lo, Ct, 0),
+                        jax.lax.dynamic_slice_in_dim(x_a, lo, Ct, 0),
+                        jax.lax.dynamic_slice_in_dim(v_c, lo, Ct, 0))
+                    return tuple(
+                        jax.lax.dynamic_update_slice_in_dim(a, o, lo, -1)
+                        for a, o in zip(acc, outs))
+
+                init = (_pvary(jnp.zeros((F, C), dtype)),
+                        _pvary(jnp.zeros((F, C), dtype)))
+                if exact_seq:
+                    init = init + (_pvary(jnp.zeros((F, F, C), dtype)),)
+                    s0, sh2_raw, m_x = jax.lax.fori_loop(0, nct, cbody, init)
+                else:
+                    def cbody2(i, acc):
+                        lo = jnp.minimum(i * Ct, lo_max)
+                        s0t, sht, _ = tile_stats(
+                            jax.lax.dynamic_slice_in_dim(rows_a, lo, Ct, 0),
+                            jax.lax.dynamic_slice_in_dim(x_a, lo, Ct, 0),
+                            jax.lax.dynamic_slice_in_dim(v_c, lo, Ct, 0))
+                        return (
+                            jax.lax.dynamic_update_slice_in_dim(
+                                acc[0], s0t, lo, -1),
+                            jax.lax.dynamic_update_slice_in_dim(
+                                acc[1], sht, lo, -1))
+
+                    s0, sh2_raw = jax.lax.fori_loop(0, nct, cbody2, init)
+                    m_x = None
             if exact_seq:
-                m_x = jnp.einsum("fcl,gcl->fgc", h, h,
-                                 precision=jax.lax.Precision.HIGHEST)
                 s0, sh2_all, m_x = _psum((s0, sh2_raw, m_x))
             else:
                 s0, sh2_all = _psum((s0, sh2_raw))
-                m_x = None
             if cfg.do_sample:
                 zmat = take_cols(z_d, blk.cols)  # [F, C]
             if exact_seq:
@@ -340,15 +459,41 @@ def _v_block_pass(e, v_t, mu_t, lam_t, key, plan, row, cfg, alpha,
                 new_v_cf = keep_finite(mean, v_c)
             v_t = v_t.at[blk.cols].set(new_v_cf)
             dv_d = dv_d.at[blk.cols].set(v_c - new_v_cf)
-        # exact per-bin patch (per-position flat gathers)
+        # exact per-bin patch (per-position flat gathers); h comes from
+        # the pre-bin q for EVERY position (dq applied once at the end),
+        # row-tiled with in-place dynamic slices at huge N
         vtab = jnp.concatenate([v_old_t.T, dv_d.T], axis=0)  # [2F, D]
-        for p in range(ids.shape[1]):
-            gg = jnp.take(vtab, ids[:, p], axis=-1)  # [2F, N]
-            xp = x_r[:, p][None]
-            v_e, dv_e = gg[:F], gg[F:]
-            h_e = xp * (q - xp * v_e)
-            q = q - xp * dv_e
-            e = e - (h_e * dv_e).sum(0)
+        ids_pn, x_pn = ids.T, x_r.T  # [P, N]
+
+        def patch_tile(ids_t, x_t, q_t, e_t):
+            dq = jnp.zeros_like(q_t)
+            de = jnp.zeros_like(e_t)
+            for p in range(P_row):
+                gg = jnp.take(vtab, ids_t[p], axis=-1)  # [2F, Nt]
+                xp = x_t[p][None]
+                v_e, dv_e = gg[:F], gg[F:]
+                h_e = xp * (q_t - xp * v_e)
+                dq = dq + xp * dv_e
+                de = de + (h_e * dv_e).sum(0)
+            return q_t - dq, e_t - de
+
+        rt = _mc_row_tiles(n_loc, 4 * F)
+        nt = None if rt == 1 else _exact_tile_len(n_loc, rt)
+        if nt is None:
+            q, e = patch_tile(ids_pn, x_pn, q, e)
+        else:
+            def pbody(i, carry):
+                qc, ec = carry
+                lo = i * nt
+                q_t, e_t = patch_tile(
+                    jax.lax.dynamic_slice_in_dim(ids_pn, lo, nt, -1),
+                    jax.lax.dynamic_slice_in_dim(x_pn, lo, nt, -1),
+                    jax.lax.dynamic_slice_in_dim(qc, lo, nt, -1),
+                    jax.lax.dynamic_slice_in_dim(ec, lo, nt, -1))
+                return (jax.lax.dynamic_update_slice_in_dim(qc, q_t, lo, -1),
+                        jax.lax.dynamic_update_slice_in_dim(ec, e_t, lo, -1))
+
+            q, e = jax.lax.fori_loop(0, n_loc // nt, pbody, (q, e))
     return e, v_t, q, key
 
 
@@ -377,9 +522,17 @@ def _blocked_peak_elems(plan: SweepPlan, F: int, n_loc: int) -> int:
 
 
 def _auto_factor_block(plan: SweepPlan, K: int, n_loc: int) -> int:
-    """Largest divisor of K whose blocked-sweep temps fit MCMC_BLOCK_BUDGET."""
+    """Largest divisor of K whose blocked-sweep temps fit MCMC_BLOCK_BUDGET
+    untiled.  When nothing fits (huge N), the row/column-tiled pass bounds
+    the temps instead, so memory no longer caps F — pick the largest
+    divisor <= 4, the empirically optimal block at Netflix scale (smaller
+    blocks keep each staged program under the single-execution kill;
+    fb=4 measured best for VB at 100M, PARITY_RUNS round 4)."""
     for d in range(K, 1, -1):
         if K % d == 0 and _blocked_peak_elems(plan, d, n_loc) <= MCMC_BLOCK_BUDGET:
+            return d
+    for d in (4, 3, 2):
+        if K % d == 0:
             return d
     return 1
 
@@ -577,6 +730,30 @@ def v_factor_main_bins(e, q, v_f, mu_f, lam_f, alpha, plan, row,
     return e, q, v_f, key
 
 
+def _tiled_scores(w0, w, v, ids, vals, cfg):
+    """Full forward pass with the [1+K, N] channel-stacked gather bounded
+    by row tiles at huge N (the re-predict at Netflix-100M would otherwise
+    materialize a ~10 GB temp).  Bitwise identical to the one-shot path
+    (tiles split independent rows only)."""
+    n_loc = ids.shape[0]
+    K = v.shape[0]
+    rt = _mc_row_tiles(n_loc, 1 + K)
+    nt = None if rt == 1 else _exact_tile_len(n_loc, rt)
+    if nt is None:
+        return fm_scores(w0, w, v, ids, vals, k0=cfg.k0, k1=cfg.k1)
+
+    def body(i, acc):
+        lo = i * nt
+        s = fm_scores(w0, w, v,
+                      jax.lax.dynamic_slice_in_dim(ids, lo, nt, 0),
+                      jax.lax.dynamic_slice_in_dim(vals, lo, nt, 0),
+                      k0=cfg.k0, k1=cfg.k1)
+        return jax.lax.dynamic_update_slice_in_dim(acc, s, lo, 0)
+
+    return jax.lax.fori_loop(0, n_loc // nt, body,
+                             _pvary(jnp.zeros((n_loc,), v.dtype)))
+
+
 def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
                   num_cases: float):
     """One Gibbs sweep + full re-predict of the train e-cache.  Runs inside
@@ -665,7 +842,7 @@ def mcmc_draw_all(state: MCMCState, row: RowData, plan: PlanData, cfg: FMConfig,
     # --- full re-predict (fm_learn_mcmc_simultaneous.h:134-176): regression
     # restores e := yhat - y immediately; classification leaves e = yhat for
     # the learner's truncated-normal target resampling (:196-219) ---
-    yhat = fm_scores(w0, w, v, row.ids, row.vals, k0=cfg.k0, k1=cfg.k1)
+    yhat = _tiled_scores(w0, w, v, row.ids, row.vals, cfg)
     if cfg.task == TASK_REGRESSION:
         yhat = yhat - row.target
 
@@ -812,9 +989,17 @@ class MCMCLearner:
         With ``rest`` (the held-back test mask when num_eval_cases < test
         rows), also evaluates rmse_test2_this/all over the remainder
         (fm_learn_mcmc_simultaneous.h:252-258)."""
-        cfg = self.cfg
         state, psum_all, psum_but5, it = carry
         state, nans = self._draw_inprog(state, row, plan, *extras)
+        return self._eval_tail(state, nans, psum_all, psum_but5, it, row,
+                               trow, *extras, rest=rest)
+
+    def _eval_tail(self, state, nans, psum_all, psum_but5, it, row, trow,
+                   *extras, rest=None):
+        """Post-draw in-program eval + classification target resampling
+        (the tail of :meth:`_iter_body`, shared with the staged huge-N
+        path's C stage)."""
+        cfg = self.cfg
         scores = self._test_scores_inprog(state, trow, *extras)
         nt = jnp.asarray(float(self._eval_n or self.test_n), scores.dtype)
         itf = it.astype(scores.dtype)
@@ -901,8 +1086,11 @@ class MCMCLearner:
     _default_chunk = 10
 
     def _clamp_chunk(self, chunk: int) -> int:
-        """Hook for subclasses whose fused program degrades at chunk>1."""
-        return chunk
+        """Hook for subclasses whose fused program degrades at chunk>1.
+        The base learner clamps to 1 when the sweep's internal memory
+        tiling engages (tiling loops nested inside the fused iteration
+        scan miscompile on TPU, see _v_block_pass)."""
+        return 1 if self._needs_tiling() else chunk
 
     def _fused_steps(self, chunk: int):
         if chunk in self._fused_cache:
@@ -933,6 +1121,202 @@ class MCMCLearner:
         ), in_shardings=named_shardings(self.mesh, in_specs))
         self._fused_cache[chunk] = fn
         return fn
+
+    # ---- staged huge-N path (mirrors learners.vb._staged_*) --------------
+    #: subclasses with bespoke draw paths (relational BS, feature-sharded
+    #: TP) opt out; they fall back to the fused programs
+    _staged_capable = True
+
+    def _stage_layout(self):
+        """(F, nb) of the staged factor blocking (requires factor_block>=1
+        with K % F == 0)."""
+        K = self.cfg.num_factor
+        F = min(max(self.cfg.factor_block, 1), K) if K else 0
+        nb = K // F if K else 0
+        return F, nb
+
+    def _staged_mode(self) -> bool:
+        """True when one fused draw_all would exceed the safe
+        single-execution duration (~40 s kills the remotely-attached TPU
+        worker, see learners.vb.VB_STAGE_UNITS) and the sweep is
+        splittable by factor block."""
+        import os
+        ov = os.environ.get("SVBFM_MCMC_STAGED")
+        if ov == "0":
+            return False
+        cfg = self.cfg
+        K = cfg.num_factor
+        F = min(max(cfg.factor_block, 1), K) if K else 0
+        ok = (self._staged_capable and not self._extra_args and K > 0
+              and cfg.factor_block >= 1 and K % F == 0)
+        if not ok:
+            if ov == "1":
+                raise ValueError(
+                    "SVBFM_MCMC_STAGED=1 requires num_factor > 0, "
+                    "factor_block >= 1 dividing K, and a learner without "
+                    "extra device args (no BS/TP)")
+            return False
+        if ov == "1":
+            return True
+        _F, nb = self._stage_layout()
+        n_loc = self.train_row.ids.shape[0] // self.mesh.devices.size
+        return n_loc * nb > MCMC_STAGE_UNITS
+
+    def _staged_programs(self):
+        """Three donated shard_map programs splitting one draw_all + eval
+        iteration: A (alpha, w0, w hyperpriors + w sweep, v hyperpriors),
+        B (one factor block of the v sweep, block index traced — ONE
+        compile for all blocks), C (full re-predict + eval + resampling).
+        The draw/key sequence is IDENTICAL to the fused blocked path, so
+        trajectories match bitwise (CPU equivalence test)."""
+        if getattr(self, "_staged_cache", None) is not None:
+            return self._staged_cache
+        cfg = self.cfg
+        K = cfg.num_factor
+        F, _nb = self._stage_layout()
+        G = cfg.num_groups
+        num_cases = float(self.train_n)
+        has_rest = self._rest_valid is not None
+
+        def a_stage(state, row, plan):
+            dtype = state.w.dtype
+            N = jnp.asarray(num_cases, dtype)
+            e, key = state.e, state.key
+            counters = zero_nan_counters()
+
+            def next_key():
+                nonlocal key
+                key, sub = jax.random.split(key)
+                return sub
+
+            alpha = draw_alpha(e, row.valid, state.alpha, cfg, N, next_key,
+                               dtype, counters=counters)
+            w0 = state.w0
+            if cfg.k0:
+                e, w0 = draw_w0(e, row.valid, w0, cfg, alpha, N, next_key,
+                                counters=counters)
+            w, v = state.w, state.v
+            w_mu, w_lambda = state.w_mu, state.w_lambda
+            v_mu, v_lambda = state.v_mu, state.v_lambda
+            if cfg.k1:
+                w_mu, w_lambda = draw_w_hyperpriors(
+                    w, w_mu, w_lambda, plan.attr_group,
+                    plan.num_attr_per_group, cfg, G, next_key, dtype,
+                    counters=counters)
+                e, w = w_sweep_main(e, w, w_mu, w_lambda, alpha, plan, row,
+                                    cfg, next_key, counters=counters)
+            if K > 0:
+                v_mu, v_lambda = draw_v_hyperpriors(
+                    v, v_mu, v_lambda, plan.attr_group,
+                    plan.num_attr_per_group, cfg, G, K, next_key, dtype,
+                    counters=counters)
+            new_state = MCMCState(
+                w0=w0, w=w, v=v, alpha=alpha, w_mu=w_mu, w_lambda=w_lambda,
+                v_mu=v_mu, v_lambda=v_lambda, e=e, key=key)
+            nans = {k: jnp.asarray(val, jnp.int32)
+                    for k, val in counters.items()}
+            return new_state, nans
+
+        def b_stage(state, b, row, plan):
+            # one factor block of _v_blocked_sweep with b traced: K % F == 0
+            # (staged-mode guard), so idx is always in range
+            idx = b * F + jnp.arange(F)
+            v_t = take_rows(state.v, idx).T  # [D, F]
+            mu_dk = take_rows(state.v_mu, plan.attr_group)  # [D, K]
+            lam_dk = take_rows(state.v_lambda, plan.attr_group)
+            mu_t = jnp.take(mu_dk, idx, axis=1)  # [D, F]
+            lam_t = jnp.take(lam_dk, idx, axis=1)
+            exact = not (cfg.mcmc_factor_jacobi and not cfg.do_sample)
+            local: dict = {}
+            e, v_t, _q, key = _v_block_pass(
+                state.e, v_t, mu_t, lam_t, state.key, plan, row, cfg,
+                state.alpha, exact_seq=exact, counters=local)
+            # unobserved columns: posterior == prior N(mu, 1/lambda)
+            key, sub = jax.random.split(key)
+            new_un = _maybe_sample(cfg.do_sample, sub, mu_t, 1.0 / lam_t,
+                                   v_t, counters=local, count_as="v",
+                                   count_mask=plan.unobserved[:, None])
+            v_new = jnp.where(plan.unobserved[:, None], new_un, v_t)
+            v = state.v.at[idx].set(v_new.T)
+            nans = {k: jnp.asarray(local.get(k, 0), jnp.int32)
+                    for k in ("nan_v", "inf_v")}
+            return state.replace(e=e, v=v, key=key), nans
+
+        def c_stage(state, nans, psum_all, psum_but5, it0, row, plan, trow,
+                    *rest):
+            rest_m = rest[0] if has_rest else None
+            # full re-predict (fm_learn_mcmc_simultaneous.h:134-176)
+            yhat = _tiled_scores(state.w0, state.w, state.v, row.ids,
+                                 row.vals, cfg)
+            if cfg.task == TASK_REGRESSION:
+                yhat = yhat - row.target
+            state = state.replace(e=yhat)
+            (state, psum_all, psum_but5, it), metrics = self._eval_tail(
+                state, nans, psum_all, psum_but5, it0, row, trow,
+                rest=rest_m)
+            return (state, psum_all, psum_but5, it,
+                    jax.tree.map(lambda a: a[None], metrics))
+
+        sspec, rspec = self._sspec(), self._rspec()
+        pspec = plan_specs_for(self.plan_data)
+        nspec = self._nanspec()
+        shd = P(DATA_AXIS)
+        mesh = self.mesh
+        fnA = jax.jit(jax.shard_map(
+            a_stage, mesh=mesh, in_specs=(sspec, rspec, pspec),
+            out_specs=(sspec, nspec)), donate_argnums=(0,))
+        fnB = jax.jit(jax.shard_map(
+            b_stage, mesh=mesh, in_specs=(sspec, P(), rspec, pspec),
+            out_specs=(sspec, {"nan_v": P(), "inf_v": P()})),
+            donate_argnums=(0,))
+        fnC = jax.jit(jax.shard_map(
+            c_stage, mesh=mesh,
+            in_specs=(sspec, nspec, shd, shd, P(), rspec, pspec, rspec,
+                      *((shd,) if has_rest else ())),
+            out_specs=(sspec, shd, shd, P(), P())), donate_argnums=(0, 2, 3))
+        self._staged_cache = (fnA, fnB, fnC)
+        return self._staged_cache
+
+    def _staged_iteration(self, state, psum_all, psum_but5, done):
+        """Dispatch one iteration as A + nb block programs + C; returns
+        (state, psum_all, psum_but5, it, metrics[1]) exactly like a
+        chunk=1 fused call.  All calls are async; nothing blocks."""
+        fnA, fnB, fnC = self._staged_programs()
+        _F, nb = self._stage_layout()
+        state, nans = fnA(state, self.train_row, self.plan_data)
+        for b in range(nb):
+            state, nv = fnB(state, jnp.asarray(b, jnp.int32),
+                            self.train_row, self.plan_data)
+            nans = dict(nans, nan_v=nans["nan_v"] + nv["nan_v"],
+                        inf_v=nans["inf_v"] + nv["inf_v"])
+        rest = (() if self._rest_valid is None else (self._rest_valid,))
+        return fnC(state, nans, psum_all, psum_but5,
+                   jnp.asarray(done, jnp.int32), self.train_row,
+                   self.plan_data, self.test_row, *rest)
+
+    def _needs_tiling(self) -> bool:
+        """True iff the sweep's internal memory tiling (_mc_row_tiles /
+        _mc_col_tiles > 1) engages, in which case the program contains
+        top-level tiling loops and must run one iteration per program
+        (nested-scan miscompile, see _v_block_pass).  Uses the SAME
+        helpers as the kernel so the predicate cannot drift."""
+        cfg = self.cfg
+        K = cfg.num_factor
+        n_loc = self.train_row.ids.shape[0] // self.mesh.devices.size
+        if _mc_row_tiles(n_loc, 1 + K) > 1:  # re-predict gather
+            return True
+        if K > 0:
+            F = 1 if cfg.factor_block == 1 else \
+                (min(cfg.factor_block, K) if cfg.factor_block > 0 else K)
+            if F > 1 and K % F == 0:  # blocked-sweep path
+                if _mc_row_tiles(n_loc, 4 * F) > 1:
+                    return True
+                for bin_blocks in self.plan.blocks:
+                    for blk in bin_blocks:
+                        if _mc_col_tiles(blk.rows.shape[1],
+                                         blk.rows.shape[2], F) > 1:
+                            return True
+        return False
 
     def init_state(self, key: Optional[jax.Array] = None) -> MCMCState:
         cfg = self.cfg
@@ -981,10 +1365,13 @@ class MCMCLearner:
             state = self.init_state()
         num_iter = num_iter if num_iter is not None else cfg.num_iter
         map_eval = (self.map_eval if cfg.task != TASK_REGRESSION else None)
+        staged = self._staged_mode()
         if chunk is None:
             # fixed default chunk => one compiled program shape across runs
             chunk = min(self._default_chunk, num_iter)
         chunk = self._clamp_chunk(chunk)
+        if staged:
+            chunk = 1  # one draw = A + nb block programs + C
         if map_eval is not None:
             # per-iteration MAP@k ranks the posterior-mean probabilities on
             # host (fm_learn_mcmc_simultaneous.h:270-275); psum_all is only
@@ -1081,19 +1468,25 @@ class MCMCLearner:
         try:
             while done < num_iter:
                 n = min(chunk, num_iter - done)
-                fn = self._fused_steps(n)
                 t0 = _time.perf_counter()
                 # it0 is rebuilt from the host counter per call: threading
                 # the device scalar back in RETRACES the program (a shard_map
                 # output scalar's aval carries the mesh axes, i32[]({Auto:
                 # ('data',)}) vs a fresh scalar's i32[]({})) — measured as a
                 # phantom ~5 s recompile on the first post-warmup run()
-                rest = (() if self._rest_valid is None
-                        else (self._rest_valid,))
-                state, psum_all, psum_but5, _it_out, metrics = fn(
-                    state, psum_all, psum_but5, jnp.asarray(done, jnp.int32),
-                    self.train_row, self.plan_data, self.test_row,
-                    *rest, *self._extra_args)
+                if staged:
+                    state, psum_all, psum_but5, _it_out, metrics = \
+                        self._staged_iteration(state, psum_all, psum_but5,
+                                               done)
+                else:
+                    fn = self._fused_steps(n)
+                    rest = (() if self._rest_valid is None
+                            else (self._rest_valid,))
+                    state, psum_all, psum_but5, _it_out, metrics = fn(
+                        state, psum_all, psum_but5,
+                        jnp.asarray(done, jnp.int32),
+                        self.train_row, self.plan_data, self.test_row,
+                        *rest, *self._extra_args)
                 done += n
                 if pipeline:
                     if pending is not None:

@@ -389,6 +389,9 @@ class TPMCMCLearner(MCMCLearner):
     draw kernel, scoring and spec trees change."""
 
     method = "mcmc"
+    # the staged huge-N path assumes the replicated-parameter layout; the
+    # feature-sharded draw falls back to the fused programs
+    _staged_capable = False
 
     def __init__(self, cfg: FMConfig, train: SparseDataset,
                  test: SparseDataset, meta: Optional[DataMetaInfo] = None,

@@ -140,7 +140,10 @@ def test_gibbs_blocked_matches_sequential_closely():
 
 def test_auto_factor_block_clamps_to_budget(monkeypatch):
     """The auto factor block must pick a divisor of K whose temps fit the
-    padded-element budget, and fall to 1 (sequential) when nothing fits."""
+    padded-element budget untiled; when nothing fits, the row/col-tiled
+    sweep bounds the temps instead and the pick falls to the largest
+    divisor <= 4 (the empirically optimal staged block), or 1 when K has
+    no such divisor."""
     import svbfm_tpu.learners.mcmc as M
     tr, te, cfg, meta, mesh = _setup(K=6)
     D = cfg.num_attributes
@@ -150,10 +153,12 @@ def test_auto_factor_block_clamps_to_budget(monkeypatch):
     assert learner.cfg.factor_block == 6  # tiny data: full block fits
     peak6 = M._blocked_peak_elems(learner.plan, 6, 96)
     assert peak6 > 0
-    # shrink the budget below the F=2 peak: only F=1 remains
+    # shrink the budget below the F=2 peak: nothing fits untiled -> the
+    # tiled fallback picks the largest divisor of 6 that is <= 4
     monkeypatch.setattr(M, "MCMC_BLOCK_BUDGET",
                         M._blocked_peak_elems(learner.plan, 2, 96) - 1)
-    assert M._auto_factor_block(learner.plan, 6, 96) == 1
+    assert M._auto_factor_block(learner.plan, 6, 96) == 3
+    assert M._auto_factor_block(learner.plan, 5, 96) == 1  # no divisor <= 4
     # budget exactly at the F=3 peak: picks 3, skipping 6
     monkeypatch.setattr(M, "MCMC_BLOCK_BUDGET",
                         M._blocked_peak_elems(learner.plan, 3, 96))
@@ -306,3 +311,111 @@ def test_run_compile_signatures_stay_bounded():
     state, _ = l.run(state, num_iter=4, verbose=False, chunk=2)
     assert fn._cache_size() == n2 <= 3, (
         f"fused program signatures keep growing: {n2} -> {fn._cache_size()}")
+
+
+def test_mcmc_staged_path_matches_fused(monkeypatch):
+    """The staged huge-N path (A: scalar draws + w sweep / B: one factor
+    block / C: re-predict + eval) replays the fused blocked path's exact
+    draw/key sequence, so trajectories must match bitwise-closely —
+    staging is a pure execution-schedule transform."""
+    import svbfm_tpu.learners.mcmc as M
+
+    tr, te, cfg, meta, mesh = _setup(num_rows=600, num_users=18,
+                                     num_items=14, K=4, factor_block=2)
+    D = cfg.num_attributes
+    ref = MCMCLearner(cfg, SparseDataset.from_coo(tr, D),
+                      SparseDataset.from_coo(te, D), meta, mesh=mesh,
+                      write_files=False)
+    assert ref._staged_mode() is False
+    _, hist_ref = ref.run(num_iter=4, verbose=False)
+
+    monkeypatch.setattr(M, "MCMC_STAGE_UNITS", 10)
+    st = MCMCLearner(cfg, SparseDataset.from_coo(tr, D),
+                     SparseDataset.from_coo(te, D), meta, mesh=make_mesh(1),
+                     write_files=False)
+    assert st._staged_mode() is True
+    _, hist_st = st.run(num_iter=4, verbose=False)
+    for r_ref, r_st in zip(hist_ref, hist_st):
+        np.testing.assert_allclose(r_st["rmse"], r_ref["rmse"],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(r_st["rmse_this"], r_ref["rmse_this"],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(r_st["alpha"], r_ref["alpha"], rtol=1e-5)
+        assert r_st["nan_v"] == r_ref["nan_v"]
+
+    # sharded mesh agrees too (psum'd stats under the staged split)
+    st8 = MCMCLearner(cfg, SparseDataset.from_coo(tr, D),
+                      SparseDataset.from_coo(te, D), meta, mesh=make_mesh(8),
+                      write_files=False)
+    assert st8._staged_mode() is True
+    _, hist8 = st8.run(num_iter=4, verbose=False)
+    for r_ref, r8 in zip(hist_ref, hist8):
+        np.testing.assert_allclose(r8["rmse"], r_ref["rmse"], rtol=2e-3,
+                                   atol=2e-4)
+
+
+def test_als_staged_path_matches_fused(monkeypatch):
+    """Deterministic ALS through the staged split (no sampling noise, so
+    any drift is a real semantics bug)."""
+    import svbfm_tpu.learners.mcmc as M
+
+    tr, te, cfg, meta, mesh = _setup(num_rows=600, num_users=18,
+                                     num_items=14, K=4, factor_block=2,
+                                     regw=0.05, regv=0.05)
+    D = cfg.num_attributes
+    ref = ALSLearner(cfg, SparseDataset.from_coo(tr, D),
+                     SparseDataset.from_coo(te, D), meta, mesh=mesh,
+                     write_files=False)
+    _, hist_ref = ref.run(num_iter=4, verbose=False)
+    monkeypatch.setattr(M, "MCMC_STAGE_UNITS", 10)
+    st = ALSLearner(cfg, SparseDataset.from_coo(tr, D),
+                    SparseDataset.from_coo(te, D), meta, mesh=make_mesh(1),
+                    write_files=False)
+    assert st._staged_mode() is True
+    _, hist_st = st.run(num_iter=4, verbose=False)
+    for r_ref, r_st in zip(hist_ref, hist_st):
+        np.testing.assert_allclose(r_st["rmse"], r_ref["rmse"],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(r_st["rmse_this"], r_ref["rmse_this"],
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_mcmc_tiled_sweep_matches_untiled(monkeypatch):
+    """The row/column-tiled blocked sweep + tiled re-predict (the huge-N
+    memory path) is a pure memory transform: with a tiny budget and a
+    quantum-padded row count it must reproduce the untiled trajectory
+    exactly, and the _needs_tiling predicate must agree with the kernel's
+    tile counts (it forces chunk=1, dodging the nested-scan miscompile)."""
+    import svbfm_tpu.learners.base as basemod
+    import svbfm_tpu.learners.mcmc as M
+
+    tr, te, cfg, meta, mesh = _setup(num_rows=3000, num_users=40,
+                                     num_items=30, K=4)
+    D = cfg.num_attributes
+    ref = MCMCLearner(cfg, SparseDataset.from_coo(tr, D),
+                      SparseDataset.from_coo(te, D), meta, mesh=mesh,
+                      write_files=False)
+    assert ref.cfg.factor_block == 4  # auto: full block on small data
+    assert ref._needs_tiling() is False
+    _, hist_ref = ref.run(num_iter=3, verbose=False)
+
+    # quantum-pad the rows and shrink the budget so every tiling site
+    # (q build, stats column tiles, patch row tiles, re-predict) engages
+    monkeypatch.setattr(basemod, "_ROW_QUANTUM_MIN_ROWS", 1000)
+    monkeypatch.setattr(M, "MCMC_TILE_BUDGET", 98304)
+    tl = MCMCLearner(cfg, SparseDataset.from_coo(tr, D),
+                     SparseDataset.from_coo(te, D), meta, mesh=make_mesh(1),
+                     write_files=False)
+    n_loc = tl.train_row.ids.shape[0]
+    assert n_loc == basemod.ROW_QUANTUM  # quantum padding engaged
+    assert M._mc_row_tiles(n_loc, 4 * 4) > 1
+    from svbfm_tpu.learners.vb import _exact_tile_len
+    assert _exact_tile_len(n_loc, M._mc_row_tiles(n_loc, 4 * 4)) is not None
+    assert tl._needs_tiling() is True
+    _, hist_tl = tl.run(num_iter=3, verbose=False)
+    for r_ref, r_tl in zip(hist_ref, hist_tl):
+        np.testing.assert_allclose(r_tl["rmse"], r_ref["rmse"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(r_tl["rmse_this"], r_ref["rmse_this"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(r_tl["alpha"], r_ref["alpha"], rtol=1e-4)
