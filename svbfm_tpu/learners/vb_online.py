@@ -76,6 +76,34 @@ T0_WJ = 1.0
 T0_VJ = 1.0
 
 
+# Flat-vs-generic v-sweep dispatch threshold, in estimated PADDED temp
+# bytes of the generic path (see _use_flat_dispatch).  Calibrated on two
+# measured endpoints (round 4): Netflix-shape 2.5M-row chunks (est
+# 16.7e9) run GENERIC and fit HBM; KDD-shape 2.63M-row chunks at
+# D=1.63M (est 21.5e9) OOM generic and need the flat layout.
+OVB_FLAT_THRESHOLD = 19_000_000_000
+
+
+def _flat_overhead_estimate(n_rows: int, D: int) -> int:
+    """Estimated generic-path tile-padding overhead in bytes (the [N, P,
+    5F] delta gathers' minor-dim padding plus the [D, K]-table lane
+    padding), linearized in the two drivers n_rows and D."""
+    return n_rows * 6_000 + D * 3_500
+
+
+def _use_flat_dispatch(n_rows: int, D: int, F: int) -> bool:
+    """True when the F=1 v-sweep should use the flat (pad-free) layout:
+    ~20% slower at small shapes but the only layout that compiles at
+    huge-chunk/huge-D shapes.  SVBFM_OVB_FLAT=1/0 overrides."""
+    import os
+    if F != 1:
+        return False
+    ov = os.environ.get("SVBFM_OVB_FLAT")
+    if ov is not None:
+        return ov != "0"
+    return _flat_overhead_estimate(n_rows, D) > OVB_FLAT_THRESHOLD
+
+
 def _ceil_to_multiple(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -274,20 +302,13 @@ def ovb_chunk_update(state: OVBState, row: RowData, blocks, cfg: FMConfig,
 
         fmask = (jnp.arange(K_pad).reshape(nb, F) < K) if K_pad != K else None
 
-        import os as _os
         # The flat path trades one [N, P]-index gather pass for P
         # per-position passes: ~20% slower at shapes where the generic
         # path's tile-padded temps fit HBM (measured 12.9 vs 15.7
         # s/epoch at ML-10M), but its pad-free temps are what lets
         # huge chunks compile at all (KDD: the generic [N, P, 5] delta
-        # gather alone tile-pads to 6.3 GiB).  The estimate below is
-        # calibrated on two measured endpoints: Netflix-shape 2.5M-row
-        # chunks (est 16.7e9) run GENERIC and fit; KDD-shape 2.63M-row
-        # chunks at D=1.63M (est 21.5e9) OOM generic and need flat.
-        pad_overhead = row.ids.shape[0] * 6_000 + D * 3_500
-        ov = _os.environ.get("SVBFM_OVB_FLAT")
-        use_flat = F == 1 and (pad_overhead > 19_000_000_000 if ov is None
-                               else ov != "0")
+        # gather alone tile-pads to 6.3 GiB).  See _use_flat_dispatch.
+        use_flat = _use_flat_dispatch(row.ids.shape[0], D, F)
         mu_s, sig_s = pad_f(mu_v), pad_f(sigma_v_dash)
         nmu_s = pad_f(n_mu_v)
         nsig_s = pad_f(n_sig_v, fill=1.0)

@@ -203,6 +203,10 @@ def test_staged_path_matches_fused(monkeypatch):
                          mesh=make_mesh(1), write_files=False)
     assert learner2._staged_mode() is True
     _, hist_st = learner2.run(num_iter=4, verbose=False)
+    # the cross-program pass pipelining engaged (nb=3 > 1): block caches
+    # were threaded between block programs and across iterations
+    assert learner2._stage_pipelined is True
+    assert learner2._vcache is not None
     for r_ref, r_st in zip(hist_ref, hist_st):
         np.testing.assert_allclose(r_st["rmse"], r_ref["rmse"],
                                    rtol=1e-6, atol=1e-7)

@@ -232,3 +232,31 @@ def test_ovb_flat_pipelined_matches_generic_trajectory(monkeypatch):
                                    rtol=1e-6)
     np.testing.assert_allclose(np.asarray(sf.mu_v), np.asarray(sg.mu_v),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_flat_dispatch_boundary(monkeypatch):
+    """The flat-vs-generic layout dispatch is pinned at the calibrated
+    threshold (both layouts produce identical trajectories — the
+    equivalence tests above — so a mis-dispatch costs only performance,
+    but the boundary itself must not drift silently)."""
+    from svbfm_tpu.learners.vb_online import (
+        OVB_FLAT_THRESHOLD, _flat_overhead_estimate, _use_flat_dispatch)
+
+    monkeypatch.delenv("SVBFM_OVB_FLAT", raising=False)
+    # the two round-4 calibration endpoints must dispatch as measured:
+    # Netflix-shape 2.5M-row chunks at D=498k ran GENERIC and fit HBM;
+    # KDD-shape 2.63M-row chunks at D=1.63M OOM'd generic and need flat
+    assert _use_flat_dispatch(2_500_000, 497_959, F=1) is False
+    assert _use_flat_dispatch(2_630_000, 1_625_951, F=1) is True
+    # threshold straddle: one byte below/above the calibrated cut
+    n_lo = (OVB_FLAT_THRESHOLD - 3_500) // 6_000
+    assert _flat_overhead_estimate(n_lo, 1) <= OVB_FLAT_THRESHOLD
+    assert _use_flat_dispatch(n_lo, 1, F=1) is False
+    assert _use_flat_dispatch(n_lo + 1, 1, F=1) is True
+    # only the F=1 factor-sequential sweep has a flat specialization
+    assert _use_flat_dispatch(10**9, 10**8, F=2) is False
+    # env overrides win in both directions
+    monkeypatch.setenv("SVBFM_OVB_FLAT", "1")
+    assert _use_flat_dispatch(100, 100, F=1) is True
+    monkeypatch.setenv("SVBFM_OVB_FLAT", "0")
+    assert _use_flat_dispatch(10**10, 10**9, F=1) is False
