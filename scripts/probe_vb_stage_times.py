@@ -44,7 +44,9 @@ def main() -> None:
     state = learner.init_state()
     np.asarray(state.mu_0)
 
-    fnW, fnB, fnC = learner._staged_programs()
+    fnW, fnBs, fnC = learner._staged_programs()
+    pipel = learner._stage_pipelined
+    print(f"# pipelined={pipel}")
     _F, nb = learner._stage_layout()
     rest = (() if learner._rest_valid is None else (learner._rest_valid,))
     import jax.numpy as jnp
@@ -52,6 +54,7 @@ def main() -> None:
     def fetch(st):
         np.asarray(st.mu_0)
 
+    caches = None
     for it in range(iters):
         tW = tB = tC = 0.0
         t0 = time.perf_counter()
@@ -63,8 +66,17 @@ def main() -> None:
         tBs = []
         for b in range(nb):
             t1 = time.perf_counter()
-            state, nv = fnB(state, jnp.asarray(b, jnp.int32),
-                            learner.train_row, learner.plan_data)
+            bj = jnp.asarray(b, jnp.int32)
+            if not pipel:
+                state, nv = fnBs[0](state, bj, learner.train_row,
+                                    learner.plan_data)
+            elif caches is None:
+                state, nv, caches = fnBs[0](state, bj, learner.train_row,
+                                            learner.plan_data)
+            else:
+                state, nv, caches = fnBs[1](state, bj, caches,
+                                            learner.train_row,
+                                            learner.plan_data)
             fetch(state)
             tBs.append(time.perf_counter() - t1)
             nan_v = nv if nan_v is None else nan_v + nv

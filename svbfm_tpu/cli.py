@@ -57,7 +57,10 @@ Flags (libFM-compatible; -name value):
   -rlog        TSV metrics file
   -seed        RNG seed (honored, unlike the reference)
   -relation    BS relation file prefixes (comma separated)
-  -cache_size  accepted for compatibility (data is HBM-resident)
+  -cache_size  bytes of HBM for windowed row data: -method vb trains
+               out-of-core (HBM-windowed sweeps, resident caches; the
+               reference's LargeSparseMatrixHD path); other methods
+               accept it for compatibility and stay HBM-resident
   -bins        column-bin mode: auto|fields|greedy|jacobi (extension)
   -factor_block  factors per sweep block; 0=all (fast), 1=reference-exact
   -checkpoint  directory for periodic checkpoints (resumes if present)
@@ -220,7 +223,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     # is never fully resident in host RAM or HBM
     import os as _os
     from svbfm_tpu.data.binary import has_binary
-    defer_train = (method in ("vb_online", "sgd_online")
+    cache_bytes = cmd.get_int("cache_size", 0)
+    defer_train = ((method in ("vb_online", "sgd_online")
+                    or (method == "vb" and cache_bytes > 0))
                    and has_binary(train_file) and not cmd.has("relation"))
     reader = None
     if defer_train:
@@ -244,6 +249,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     if task == TASK_CLASSIFICATION:  # libfm.cpp:337-350
         if train is not None:
             train.target = np.where(train.target > 0, 1.0, -1.0).astype(np.float32)
+        if reader is not None and reader.targets is not None:
+            reader.targets = np.where(reader.targets > 0, 1.0,
+                                      -1.0).astype(np.float32)
         test.target = np.where(test.target > 0, 1.0, -1.0).astype(np.float32)
         min_t, max_t = -1.0, 1.0
     elif defer_train:
@@ -372,7 +380,21 @@ def main(argv: Optional[list[str]] = None) -> int:
                           num_eval_cases=cmd.get_int("num_eval_cases", 0)
                           or None)
     elif method == "vb":
-        if tp_mesh is not None:
+        if cache_bytes > 0 and tp_mesh is None:
+            # out-of-core batch VB: HBM-windowed sweeps with resident
+            # caches (the reference's LargeSparseMatrixHD path,
+            # fmatrix.h:110-233 / Data.h:112-171)
+            from svbfm_tpu.learners.vb_windowed import WindowedVBLearner
+            if cmd.get_int("num_eval_cases", 0):
+                raise SystemExit("-num_eval_cases is not supported with "
+                                 "-cache_size")
+            if cmd.has("checkpoint"):
+                raise SystemExit("-checkpoint is not supported with "
+                                 "-cache_size yet")
+            learner = WindowedVBLearner(
+                cfg, reader if defer_train else tr_ds, te_ds, meta,
+                cache_bytes=cache_bytes, bins=bins)
+        elif tp_mesh is not None:
             from svbfm_tpu.parallel.tp_vb import TPVBLearner
             learner = TPVBLearner(cfg, tr_ds, te_ds, meta, mesh=tp_mesh,
                                   bins=bins, write_files=True)

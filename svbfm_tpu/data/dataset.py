@@ -323,10 +323,18 @@ class SweepPlan:
         col_count: Optional[np.ndarray] = None,
         lane_pad: int = 8,
         n_rows_total: Optional[int] = None,
+        forced_color: Optional[np.ndarray] = None,
+        forced_conflict_free: bool = True,
     ) -> "SweepPlan":
         D = num_features
         conflict_free = True
-        if bins == "auto":
+        if forced_color is not None:
+            # caller supplies a global coloring (the windowed out-of-core
+            # path colors once from the full data so every window's bins
+            # partition columns identically); trust its conflict_free claim
+            color = np.asarray(forced_color, np.int32)
+            conflict_free = forced_conflict_free
+        elif bins == "auto":
             color = detect_field_bins(coo, D)
             if color is None:
                 # greedy preprocessing is O(D) Python + O(nnz) numpy; cap it

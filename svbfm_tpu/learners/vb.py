@@ -241,7 +241,8 @@ def _drop_tz_carry(n_loc: int, F: int) -> bool:
 
 
 def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
-                      fmask=None, w_state=None):
+                      fmask=None, w_state=None, prebuilt=None,
+                      next_ptab=None):
     """Coordinate sweep for a *block* of F factors (fm_learn_vb.h:577-644).
 
     mu_t/sig_t are [D, F] slices of the variational factor tables; sv_t is
@@ -269,6 +270,21 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
     With ``w_state = (mu_w, sigma_w_dash, sigma_w)`` the linear-term sweep
     rides along in the same index passes (fast mode only).  Returns the
     updated w_state last when given.
+
+    Pass pipelining across STAGED block programs (the 100M-cliff fix; the
+    same trick the OVB epoch uses intra-program, vb_online.py): with
+    ``prebuilt`` the q/tq(/tz) caches arrive already built (by the
+    PREVIOUS block program's last patch pass) and the build gathers are
+    skipped; with ``next_ptab`` ([2F, D] stacked mu'/sigma' of the NEXT
+    block) the last bin's patch pass rides 2F extra channels in its
+    per-position gathers — gathers cost per index pass, not per channel —
+    and emits the next block's caches as an extra trailing return value,
+    IN PLACE of this block's dead caches (the fori carry aliases, so peak
+    HBM is unchanged).  Valid because q/tq/tz depend only on the next
+    block's mu'/sigma', which nothing between the two programs touches
+    (this block updates only its own factors; the sweep tail only fixes
+    UNOBSERVED columns, which appear in no row gather).  Requires
+    ``w_state=None``.
     """
     D, F = mu_t.shape
     ids, x_r = row.ids, row.vals
@@ -276,6 +292,7 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
     nan_w = jnp.zeros((), jnp.int32)
     if w_state is not None:
         mu_w, sig_w_dash, sigma_w = w_state
+        assert next_ptab is None  # patch channel layout assumes one rider
 
     n_loc, P_row = ids.shape
     dtype = mu_t.dtype
@@ -284,59 +301,66 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
     # sweeps require run(chunk=1) (nested scans miscompile under the fused
     # iteration scan)
 
-    # --- q/tq/tz build as [F, N] (one flat gather per row position) ---
-    ptab_t = jnp.concatenate([mu_t.T, sig_t.T], axis=0)  # [2F, D]
-
     # beyond VB_TZ_CARRY_BYTES the tz cache is recomputed inside the patch
     # tiles instead of being carried as a third [F, N] buffer
     carry_tz = not _drop_tz_carry(n_loc, F)
 
-    def build_qt(ids_t, x_t):
-        # ids_t/x_t [Nt, P] -> q/tq(/tz) [F, Nt]
-        nt_ = ids_t.shape[0]
-        q = jnp.zeros((F, nt_), dtype)
-        tq = jnp.zeros((F, nt_), dtype)
-        tz = jnp.zeros((F, nt_), dtype) if carry_tz else None
-        for p in range(P_row):
-            g = jnp.take(ptab_t, ids_t[:, p], axis=-1)  # [2F, Nt]
-            xp = x_t[:, p][None]
-            x2p = xp * xp
-            mug, sigg = g[:F], g[F:]
-            q = q + mug * xp
-            tq = tq + sigg * x2p
-            if carry_tz:
-                tz = tz + mug * mug * x2p
-        return (q, tq, tz) if carry_tz else (q, tq)
-
-    # at huge N the per-position [2F, N] gather temps cost GBs (2x2.98 GB
-    # at N=100M F=4, measured); bound them with the same pad-free in-place
-    # row tiling as the cache patch below
-    rtb = _row_tile_count(n_loc, 2 * F)
-    ntb = None if rtb == 1 else _exact_tile_len(n_loc, rtb)
-    if ntb is None:
-        caches = build_qt(ids, x_r)
+    if prebuilt is not None:
+        if carry_tz:
+            q, tq, tz = prebuilt
+        else:
+            (q, tq), tz = prebuilt, None
     else:
-        def bbody(i, carry):
-            lo = i * ntb
-            outs = build_qt(
-                jax.lax.dynamic_slice_in_dim(ids, lo, ntb, 0),
-                jax.lax.dynamic_slice_in_dim(x_r, lo, ntb, 0))
-            return tuple(
-                jax.lax.dynamic_update_slice_in_dim(c, o, lo, -1)
-                for c, o in zip(carry, outs))
+        # --- q/tq/tz build as [F, N] (one flat gather per row position) ---
+        ptab_t = jnp.concatenate([mu_t.T, sig_t.T], axis=0)  # [2F, D]
 
-        # zeros must be typed varying over the data axis to match the
-        # body outputs (carry types must agree under shard_map)
-        caches = jax.lax.fori_loop(
-            0, n_loc // ntb, bbody,
-            tuple(_pvary(jnp.zeros((F, n_loc), dtype))
-                  for _ in range(3 if carry_tz else 2)))
-    if carry_tz:
-        q, tq, tz = caches
-    else:
-        (q, tq), tz = caches, None
+        def build_qt(ids_t, x_t):
+            # ids_t/x_t [Nt, P] -> q/tq(/tz) [F, Nt]
+            nt_ = ids_t.shape[0]
+            q = jnp.zeros((F, nt_), dtype)
+            tq = jnp.zeros((F, nt_), dtype)
+            tz = jnp.zeros((F, nt_), dtype) if carry_tz else None
+            for p in range(P_row):
+                g = jnp.take(ptab_t, ids_t[:, p], axis=-1)  # [2F, Nt]
+                xp = x_t[:, p][None]
+                x2p = xp * xp
+                mug, sigg = g[:F], g[F:]
+                q = q + mug * xp
+                tq = tq + sigg * x2p
+                if carry_tz:
+                    tz = tz + mug * mug * x2p
+            return (q, tq, tz) if carry_tz else (q, tq)
 
-    for bin_blocks in plan.blocks:
+        # at huge N the per-position [2F, N] gather temps cost GBs (2x2.98
+        # GB at N=100M F=4, measured); bound them with the same pad-free
+        # in-place row tiling as the cache patch below
+        rtb = _row_tile_count(n_loc, 2 * F)
+        ntb = None if rtb == 1 else _exact_tile_len(n_loc, rtb)
+        if ntb is None:
+            caches = build_qt(ids, x_r)
+        else:
+            def bbody(i, carry):
+                lo = i * ntb
+                outs = build_qt(
+                    jax.lax.dynamic_slice_in_dim(ids, lo, ntb, 0),
+                    jax.lax.dynamic_slice_in_dim(x_r, lo, ntb, 0))
+                return tuple(
+                    jax.lax.dynamic_update_slice_in_dim(c, o, lo, -1)
+                    for c, o in zip(carry, outs))
+
+            # zeros must be typed varying over the data axis to match the
+            # body outputs (carry types must agree under shard_map)
+            caches = jax.lax.fori_loop(
+                0, n_loc // ntb, bbody,
+                tuple(_pvary(jnp.zeros((F, n_loc), dtype))
+                      for _ in range(3 if carry_tz else 2)))
+        if carry_tz:
+            q, tq, tz = caches
+        else:
+            (q, tq), tz = caches, None
+
+    n_bins = len(plan.blocks)
+    for bi, bin_blocks in enumerate(plan.blocks):
         mu_old_t, sig_old_t = mu_t, sig_t  # pre-bin snapshots (functional)
         dmu_d = jnp.zeros((D, F), dtype)
         dsig_d = jnp.zeros((D, F), dtype)
@@ -470,9 +494,16 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
         parts = [mu_old_t.T, sig_old_t.T, dmu_d.T, dsig_d.T, dmu2_d.T]
         if w_state is not None:
             parts += [wdmu_d[None], wdsig_d[None]]
-        dtab_t = jnp.concatenate(parts, axis=0)  # [5F(+2), D]
+        # last bin + pipelining: the NEXT block's [2F, D] parameter table
+        # rides the same gathers and the patch emits its caches (see
+        # docstring), overwriting this block's dead q/tq(/tz) in place
+        build_next = next_ptab is not None and bi == n_bins - 1
+        if build_next:
+            parts.append(next_ptab)
+        dtab_t = jnp.concatenate(parts, axis=0)  # [5F(+2)(+2F), D]
         CH = dtab_t.shape[0]
-        assert CH == _patch_channels(F, w_state is not None)  # trace-time pin
+        assert CH == _patch_channels(F, w_state is not None) \
+            + (2 * F if build_next else 0)  # trace-time pin
 
         def patch_tile(ids_t, x_t, *tiles):
             # ids_t/x_t [P, Nt]; caches [F, Nt] / [Nt].  Without the tz
@@ -485,6 +516,10 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
                 tz_acc = jnp.zeros_like(q_t)
                 a_acc = jnp.zeros_like(q_t)
                 b_acc = jnp.zeros_like(q_t)
+            if build_next:
+                qn = jnp.zeros_like(q_t)
+                tqn = jnp.zeros_like(q_t)
+                tzn = jnp.zeros_like(q_t) if carry_tz else None
             for p in range(P_row):
                 gg = jnp.take(dtab_t, ids_t[p], axis=-1)  # [CH, Nt]
                 xp = x_t[p][None]
@@ -512,13 +547,24 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
                 if w_state is not None:
                     e_t = e_t + x_t[p] * gg[5 * F]
                     t_t = t_t + x_t[p] * x_t[p] * gg[5 * F + 1]
+                if build_next:
+                    mun = gg[5 * F:6 * F]
+                    sgn = gg[6 * F:7 * F]
+                    qn = qn + mun * xp
+                    tqn = tqn + sgn * x2p
+                    if carry_tz:
+                        tzn = tzn + mun * mun * x2p
             if not carry_tz:
                 # sum_p h2e_p dsig_p = tz * sum_p x^2 dsig
                 #                      - sum_p x^4 mu^2 dsig, with tz
                 # recomputed from the pre-bin mu — exact for conflict-free
                 # bins (deltas vanish at all but one position per row)
                 t_t = t_t + (tz_acc * a_acc - b_acc).sum(0)
+                if build_next:
+                    return qn, tqn, e_t, t_t
                 return q_t, tq_t, e_t, t_t
+            if build_next:
+                return qn, tqn, tzn, e_t, t_t
             return q_t, tq_t, tz_t, e_t, t_t
 
         ids_pn = ids.T  # [P, N] (small sublane pad only)
@@ -597,6 +643,11 @@ def vb_v_block_update(e, t, mu_t, sig_t, sv_t, alpha, plan, row,
     nans = dict(v=nan_v, w=nan_w)
     if w_state is not None:
         return e, t, mu_t, sig_t, nans, (mu_w, sig_w_dash, sigma_w)
+    if next_ptab is not None:
+        # q/tq(/tz) now hold the NEXT block's caches (built by the last
+        # bin's patch pass, in place of this block's dead ones)
+        return e, t, mu_t, sig_t, nans, \
+            ((q, tq, tz) if carry_tz else (q, tq))
     return e, t, mu_t, sig_t, nans
 
 
@@ -721,15 +772,18 @@ def vb_update_all(state: VBState, row: RowData, plan: PlanData, cfg: FMConfig, n
 
 
 def vb_finalize(e, t, mu_0, sigma_0_dash, mu_w, sigma_w_dash, mu_v,
-                sigma_v_dash, state, row, plan, cfg, N):
+                sigma_v_dash, state, row, plan, cfg, N, psum=None):
     """Sweep tail shared by the fused and staged paths: unobserved-column
     fixups, hyperparameter updates (fm_learn_vb.h:446-498), and free
     energy (:646-681; constant 2*3.14 kept).  ``state`` carries the
     PRE-SWEEP hyperparameters (sigma_w/sigma_v/alpha), exactly what the
-    reference's update_all reads."""
+    reference's update_all reads.  ``psum`` combines the data-sharded
+    residual reduction (defaults to the shard_map psum; the single-device
+    windowed learner passes identity)."""
     dtype = mu_w.dtype
     K = cfg.num_factor
     alpha = state.alpha
+    _psum = psum if psum is not None else globals()["_psum"]
 
     if K > 0:
         sv_d = take_rows(state.sigma_v, plan.attr_group).T  # [K, D]
@@ -1064,7 +1118,18 @@ class VBLearner:
             return state.replace(e=e, t=t, mu_0=mu_0, sigma_0_dash=s0d,
                                  mu_w=mu_w, sigma_w_dash=swd)
 
-        def b_stage(state, b, row, plan):
+        _F2, nb = self._stage_layout()
+        n_loc = self.train_row.ids.shape[0] // self.mesh.devices.size
+        # pass pipelining across block programs (the 100M-cliff fix): each
+        # block's last patch pass also builds the NEXT block's q/tq(/tz)
+        # caches, so warm block programs skip their build gathers entirely.
+        # nb == 1 has no cross-block pipelining (the wrap target would be
+        # the block itself, mid-update).
+        pipelined = nb > 1 and K > 0
+        ctz = not _drop_tz_carry(n_loc, F)
+        self._stage_pipelined = pipelined
+
+        def b_stage_core(state, b, row, plan, prebuilt):
             idx = b * F + jnp.arange(F)
             fmask = (idx < K)[None, :]
             idxc = jnp.minimum(idx, K - 1)
@@ -1072,16 +1137,42 @@ class VBLearner:
             sig_b = take_rows(state.sigma_v_dash, idxc)
             sv_dk = take_rows(state.sigma_v, plan.attr_group)  # [D, K]
             sv_b = jnp.take(sv_dk, idxc, axis=1)  # [D, F]
+            nptab = None
+            if pipelined:
+                # next block's parameter table ([2F, D]); for the final
+                # block this wraps to block 0 of the NEXT sweep — valid
+                # because state.mu_v already holds block 0's update from
+                # this sweep, and nothing between the programs (tail
+                # fixups touch only unobserved columns; the W stage only
+                # mu_w) changes the gathered values
+                bn = jnp.where(b + 1 < nb, b + 1, 0)
+                idxn = jnp.minimum(bn * F + jnp.arange(F), K - 1)
+                mu_n = take_rows(state.mu_v, idxn)  # [F, D]
+                sig_n = take_rows(state.sigma_v_dash, idxn)
+                nptab = jnp.concatenate([mu_n, sig_n], axis=0)  # [2F, D]
             out = vb_v_block_update(
                 state.e, state.t, mu_b.T, sig_b.T, sv_b, state.alpha, plan,
-                row, fmask=fmask)
+                row, fmask=fmask, prebuilt=prebuilt, next_ptab=nptab)
             e, t, mu_bt, sig_bt = out[:4]
             # out-of-range lanes (K % F != 0 tail) are DROPPED — their
             # frozen values must not race the in-range K-1 lane's update
             mu_v = state.mu_v.at[idx].set(mu_bt.T, mode="drop")
             sig_v = state.sigma_v_dash.at[idx].set(sig_bt.T, mode="drop")
-            return (state.replace(e=e, t=t, mu_v=mu_v, sigma_v_dash=sig_v),
-                    out[4]["v"])
+            st = state.replace(e=e, t=t, mu_v=mu_v, sigma_v_dash=sig_v)
+            caches = out[5] if pipelined else None
+            return st, out[4]["v"], caches
+
+        def b_stage(state, b, row, plan):
+            st, nv, _caches = b_stage_core(state, b, row, plan, None)
+            return st, nv
+
+        def b_stage_cold(state, b, row, plan):
+            st, nv, caches = b_stage_core(state, b, row, plan, None)
+            return st, nv, caches
+
+        def b_stage_warm(state, b, caches, row, plan):
+            st, nv, caches = b_stage_core(state, b, row, plan, caches)
+            return st, nv, caches
 
         def c_stage(state, nan_v, row, plan, trow, *rest):
             rest_m = rest[0] if has_rest else None
@@ -1103,32 +1194,67 @@ class VBLearner:
             w_stage, mesh=mesh, in_specs=(sspec, rspec, pspec),
             out_specs=sspec), donate_argnums=(0,)) \
             if (cfg.k0 or cfg.k1) else None
-        fnB = jax.jit(jax.shard_map(
-            b_stage, mesh=mesh, in_specs=(sspec, P(), rspec, pspec),
-            out_specs=(sspec, P())), donate_argnums=(0,))
+        if pipelined:
+            cspec = (P(None, DATA_AXIS),) * (3 if ctz else 2)
+            fnBs = (
+                jax.jit(jax.shard_map(
+                    b_stage_cold, mesh=mesh,
+                    in_specs=(sspec, P(), rspec, pspec),
+                    out_specs=(sspec, P(), cspec)), donate_argnums=(0,)),
+                jax.jit(jax.shard_map(
+                    b_stage_warm, mesh=mesh,
+                    in_specs=(sspec, P(), cspec, rspec, pspec),
+                    out_specs=(sspec, P(), cspec)), donate_argnums=(0, 2)),
+            )
+        else:
+            fnBs = (jax.jit(jax.shard_map(
+                b_stage, mesh=mesh, in_specs=(sspec, P(), rspec, pspec),
+                out_specs=(sspec, P())), donate_argnums=(0,)),)
         fnC = jax.jit(jax.shard_map(
             c_stage, mesh=mesh,
             in_specs=(sspec, P(), rspec, pspec, rspec,
                       *((P(DATA_AXIS),) if has_rest else ())),
             out_specs=(sspec, P())), donate_argnums=(0,))
-        self._staged_cache = (fnW, fnB, fnC)
+        self._staged_cache = (fnW, fnBs, fnC)
         return self._staged_cache
 
     def _staged_iteration(self, state):
         """Dispatch one sweep as W + nb block programs + tail; returns
         (state, metrics) with metrics shaped [1] like a chunk=1 fused
-        call.  All calls are async; nothing here blocks."""
-        fnW, fnB, fnC = self._staged_programs()
+        call.  All calls are async; nothing here blocks.  In pipelined
+        mode each block program's last patch pass pre-builds the next
+        block's caches (held in self._vcache ACROSS iterations: block
+        nb-1 builds next sweep's block-0 caches); only the very first
+        block call of a run pays its own build."""
+        fnW, fnBs, fnC = self._staged_programs()
         _F, nb = self._stage_layout()
         if fnW is not None:
             state = fnW(state, self.train_row, self.plan_data)
         nan_v = None
         for b in range(nb):
-            state, nv = fnB(state, jnp.asarray(b, jnp.int32),
-                            self.train_row, self.plan_data)
+            bj = jnp.asarray(b, jnp.int32)
+            if not self._stage_pipelined:
+                state, nv = fnBs[0](state, bj, self.train_row,
+                                    self.plan_data)
+            elif self._vcache is None:
+                state, nv, self._vcache = fnBs[0](
+                    state, bj, self.train_row, self.plan_data)
+            else:
+                state, nv, self._vcache = fnBs[1](
+                    state, bj, self._vcache, self.train_row,
+                    self.plan_data)
             nan_v = nv if nan_v is None else nan_v + nv
         if nan_v is None:
             nan_v = jnp.zeros((), jnp.int32)
+        # SVBFM_VB_PIPE_WRAP=0: drop the block-(nb-1) -> next-sweep-block-0
+        # cache carry, freeing the ~9 GiB [F, N] caches during the W/C
+        # stages (block 0 then cold-builds each sweep — still saves
+        # (nb-1)/nb of the build passes).  The memory fallback if the
+        # wrapped carry tips the W stage over HBM at huge N.
+        import os as _os
+        if self._stage_pipelined and \
+                _os.environ.get("SVBFM_VB_PIPE_WRAP") == "0":
+            self._vcache = None
         rest = (() if self._rest_valid is None else (self._rest_valid,))
         return fnC(state, nan_v, self.train_row, self.plan_data,
                    self.test_row, *rest)
@@ -1245,6 +1371,9 @@ class VBLearner:
             state = self._place(jax.tree.map(jnp.array, state))
         num_iter = num_iter if num_iter is not None else cfg.num_iter
         staged = self._staged_mode()
+        # pipelined block caches are only valid against the state they were
+        # built from; a fresh run (arbitrary state) must cold-build once
+        self._vcache = None
         if chunk is None:
             # fixed default chunk => one compiled program shape across runs.
             # Large problems whose sweeps engage internal memory tiling must
