@@ -32,7 +32,7 @@ from typing import Optional
 import numpy as np
 
 METHODS = ("sgd", "sgda", "sgd_online", "als", "mcmc", "vb", "vb_online",
-           "exp_sgd", "exp_sgd_stoc")
+           "exp_sgd", "exp_sgd_stoc", "bpr")
 
 HELP = """svbfm — TPU-native libFM-compatible factorization machines
 Flags (libFM-compatible; -name value):
@@ -48,7 +48,10 @@ Flags (libFM-compatible; -name value):
   -stdev       model stdev (exp-SGD); default=1
   -iter        number of iterations; default=100
   -learn_rate  SGD learn rate (1 or 3 values); default=0.1
-  -method      sgd|sgda|sgd_online|als|mcmc|vb|vb_online|exp_sgd|exp_sgd_stoc
+  -method      sgd|sgda|sgd_online|als|mcmc|vb|vb_online|exp_sgd|
+               exp_sgd_stoc|bpr (bpr = pairwise implicit-feedback
+               ranking, the reference's fm_pairSGD kernel made
+               CLI-reachable; extension)
   -batch       number of chunks for the online methods; default=50
   -reshuffle   vb_online: 1 = re-partition chunk membership every epoch
                (reference disk-re-split semantics); default 0 keeps
@@ -143,7 +146,7 @@ KNOWN = {"task", "meta", "train", "test", "validation", "out", "dim",
          "factor_block", "factor_jacobi", "checkpoint", "checkpoint_every",
          "map_eval",
          "map_item_offset", "map_k", "profile", "distributed",
-         "feature_shards", "reshuffle"}
+         "feature_shards", "reshuffle", "bpr_neg_field"}
 
 
 def main(argv: Optional[list[str]] = None) -> int:
@@ -431,6 +434,10 @@ def main(argv: Optional[list[str]] = None) -> int:
             val.target = np.where(val.target > 0, 1.0, -1.0).astype(np.float32)
         learner = SGDALearner(cfg, tr_ds, te_ds,
                               SparseDataset.from_coo(val, D), meta)
+    elif method == "bpr":
+        from svbfm_tpu.learners.bpr import BPRLearner
+        learner = BPRLearner(cfg, tr_ds, te_ds, meta,
+                             neg_field=cmd.get_int("bpr_neg_field", -1))
     elif method in ("exp_sgd", "exp_sgd_stoc"):
         from svbfm_tpu.learners.exp_sgd import ExpSGDLearner, ExpSGDStocLearner
         cls = ExpSGDLearner if method == "exp_sgd" else ExpSGDStocLearner
