@@ -349,8 +349,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     fs = cmd.get_int("feature_shards", 1)
     tp_mesh = None
     if fs > 1:
-        if method not in ("mcmc", "als", "vb"):
-            raise SystemExit("-feature_shards supports vb/mcmc/als only")
+        if method not in ("mcmc", "als", "vb", "vb_online"):
+            raise SystemExit(
+                "-feature_shards supports vb/mcmc/als/vb_online only")
         if cmd.has("relation"):
             raise SystemExit("-feature_shards is not supported with native "
                              "-relation block structure")
@@ -407,12 +408,21 @@ def main(argv: Optional[list[str]] = None) -> int:
                                 num_eval_cases=cmd.get_int("num_eval_cases",
                                                            0) or None)
     elif method == "vb_online":
-        from svbfm_tpu.learners.vb_online import OVBLearner
-        if defer_train:
-            learner = OVBLearner.from_reader(cfg, reader, te_ds, meta,
-                                             bins=bins)
+        if tp_mesh is not None:
+            from svbfm_tpu.parallel.tp_ovb import TPOVBLearner
+            if defer_train:
+                raise SystemExit("-feature_shards with out-of-core "
+                                 "vb_online streaming is not supported "
+                                 "yet; load the train set in memory")
+            learner = TPOVBLearner(cfg, tr_ds, te_ds, meta, mesh=tp_mesh,
+                                   bins=bins)
         else:
-            learner = OVBLearner(cfg, tr_ds, te_ds, meta, bins=bins)
+            from svbfm_tpu.learners.vb_online import OVBLearner
+            if defer_train:
+                learner = OVBLearner.from_reader(cfg, reader, te_ds, meta,
+                                                 bins=bins)
+            else:
+                learner = OVBLearner(cfg, tr_ds, te_ds, meta, bins=bins)
     elif method == "sgd":
         from svbfm_tpu.learners.sgd import SGDLearner
         learner = SGDLearner(cfg, tr_ds, te_ds, meta)
