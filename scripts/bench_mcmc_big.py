@@ -52,7 +52,15 @@ def main() -> None:
                    num_groups=meta.num_attr_groups, seed=7)
     cls = ALSLearner if method == "als" else MCMCLearner
     t0 = time.perf_counter()
-    learner = cls(cfg, train, test, meta, write_files=False)
+    from svbfm_tpu.data.dataset import SweepPlan
+    plan_path = f"/tmp/vb_big_plan_{rows}_11.npz"
+    plan = None
+    if _os.path.exists(plan_path):
+        plan = SweepPlan.load(plan_path)
+        print("# plan loaded from cache", flush=True)
+    learner = cls(cfg, train, test, meta, write_files=False, plan=plan)
+    if plan is None:
+        learner.plan.save(plan_path)
     print(f"# plan+transfer in {time.perf_counter()-t0:.0f} s "
           f"(staged={learner._staged_mode()} "
           f"tiled={learner._needs_tiling()})", flush=True)

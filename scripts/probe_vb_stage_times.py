@@ -39,14 +39,24 @@ def main() -> None:
     cfg = FMConfig(num_attributes=D, num_factor=K, factor_block=fb,
                    min_target=train.min_target, max_target=train.max_target,
                    num_groups=meta.num_attr_groups, seed=7)
-    learner = VBLearner(cfg, train, test, meta, write_files=False)
+    # plan cache: the host-side build costs ~6 min at 100M
+    from svbfm_tpu.data.dataset import SweepPlan
+    plan_path = f"/tmp/vb_big_plan_{rows}_11.npz"
+    plan = None
+    if _os.path.exists(plan_path):
+        plan = SweepPlan.load(plan_path)
+        print("# plan loaded from cache", flush=True)
+    learner = VBLearner(cfg, train, test, meta, write_files=False, plan=plan)
+    if plan is None:
+        learner.plan.save(plan_path)
     assert learner._staged_mode(), "staged path not engaged at this size"
     state = learner.init_state()
     np.asarray(state.mu_0)
 
     fnW, fnBs, fnC = learner._staged_programs()
     pipel = learner._stage_pipelined
-    print(f"# pipelined={pipel}")
+    nowrap = _os.environ.get("SVBFM_VB_PIPE_WRAP") == "0"
+    print(f"# pipelined={pipel} nowrap={nowrap}")
     _F, nb = learner._stage_layout()
     rest = (() if learner._rest_valid is None else (learner._rest_valid,))
     import jax.numpy as jnp
@@ -81,6 +91,8 @@ def main() -> None:
             tBs.append(time.perf_counter() - t1)
             nan_v = nv if nan_v is None else nan_v + nv
         tB = sum(tBs)
+        if nowrap:
+            caches = None  # free the [F, N] caches during W/C
         t1 = time.perf_counter()
         if nan_v is None:
             nan_v = jnp.zeros((), jnp.int32)

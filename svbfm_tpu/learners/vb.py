@@ -853,16 +853,24 @@ class VBLearner:
     def __init__(self, cfg: FMConfig, train: SparseDataset, test: SparseDataset,
                  meta: Optional[DataMetaInfo] = None, mesh=None,
                  bins: str = "auto", out_dir: str = ".", write_files: bool = True,
-                 num_eval_cases: Optional[int] = None):
+                 num_eval_cases: Optional[int] = None,
+                 plan: Optional[SweepPlan] = None):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         n = self.mesh.devices.size
         meta = meta if meta is not None else DataMetaInfo(cfg.num_attributes)
         assert meta.num_attributes == cfg.num_attributes
         self.meta = meta
-        coo = train.to_coo()
-        self.plan = SweepPlan.build(coo, cfg.num_attributes,
-                                    meta_groups=meta.attr_group, bins=bins, n_shards=n)
+        if plan is not None:
+            # prebuilt (e.g. SweepPlan.load cache — the host-side build
+            # costs minutes at 100M rows); must match (train, n_shards)
+            assert plan.num_shards == n
+            self.plan = plan
+        else:
+            coo = train.to_coo()
+            self.plan = SweepPlan.build(coo, cfg.num_attributes,
+                                        meta_groups=meta.attr_group,
+                                        bins=bins, n_shards=n)
         self.train_row, self.train_n = build_row_data(self.mesh, train)
         self.test_row, self.test_n = build_row_data(self.mesh, test)
         # Huge-N protection at the factor_block=0 default: a monolithic
