@@ -1128,12 +1128,20 @@ class VBLearner:
 
         _F2, nb = self._stage_layout()
         n_loc = self.train_row.ids.shape[0] // self.mesh.devices.size
-        # pass pipelining across block programs (the 100M-cliff fix): each
-        # block's last patch pass also builds the NEXT block's q/tq(/tz)
-        # caches, so warm block programs skip their build gathers entirely.
-        # nb == 1 has no cross-block pipelining (the wrap target would be
-        # the block itself, mid-update).
-        pipelined = nb > 1 and K > 0
+        # Pass pipelining across block programs: each block's last patch
+        # pass also builds the NEXT block's q/tq(/tz) caches, so warm
+        # block programs skip their build gathers.  OPT-IN
+        # (SVBFM_VB_PIPE=1): measured at Netflix-100M fb=4 it is a net
+        # LOSS (~+1.2 s/block) — the +2F channels widen the last bin's
+        # patch gather temp from 24 to 32 padded sublanes (+2.3 s) while
+        # the narrow 8-channel build pass they replace costs only 1.1 s;
+        # at this scale the patch passes are channel-bandwidth-bound, not
+        # per-index-bound (PARITY_RUNS round-5 stage probes).  Kept
+        # (exactness pinned by tests) for shapes where the balance may
+        # differ.  nb == 1 has no cross-block pipelining.
+        import os as _os
+        pipelined = (nb > 1 and K > 0
+                     and _os.environ.get("SVBFM_VB_PIPE") == "1")
         ctz = not _drop_tz_carry(n_loc, F)
         self._stage_pipelined = pipelined
 

@@ -1140,6 +1140,14 @@ class OVBLearner:
             # RAM, not wall-clock, is the binding constraint.
             import os as _os
             drain = int(_os.environ.get("SVBFM_STREAM_DRAIN", "0"))
+            # SVBFM_STREAM_WINDOW=w: non-draining backpressure — wait for
+            # chunk k-w's output SCALAR readiness (block_until_ready, no
+            # value transfer) before dispatching chunk k, so at most ~w
+            # chunks' H2D buffers are pinned by the tunnel client.
+            # Measured at Netflix-150M (PARITY_RUNS round 5): unlike the
+            # device_get drain (+60% epoch), readiness waits do not flush
+            # the relay pipeline.
+            window = int(_os.environ.get("SVBFM_STREAM_WINDOW", "0"))
             for idx, ci in enumerate(order):
                 row, blocks = futs.popleft().result()
                 top_up()
@@ -1150,6 +1158,8 @@ class OVBLearner:
                 nans_acc.append(nans)
                 if drain > 0 and idx >= drain and idx % drain == 0:
                     jax.device_get(fes[idx - drain])
+                elif window > 0 and idx >= window:
+                    jax.block_until_ready(fes[idx - window])
             # one host transfer for all chunk free-energies + eval metrics
             # (per-value np.asarray costs a tunnel round-trip each)
             t_pred = _time.perf_counter()

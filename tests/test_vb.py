@@ -198,6 +198,7 @@ def test_staged_path_matches_fused(monkeypatch):
     _, hist_ref = learner.run(num_iter=4, verbose=False)
 
     monkeypatch.setattr(vbmod, "VB_STAGE_UNITS", 10)
+    monkeypatch.setenv("SVBFM_VB_PIPE", "1")  # opt-in pass pipelining
     learner2 = VBLearner(cfg, SparseDataset.from_coo(tr, cfg.num_attributes),
                          SparseDataset.from_coo(te, cfg.num_attributes), meta,
                          mesh=make_mesh(1), write_files=False)
