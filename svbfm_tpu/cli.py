@@ -76,9 +76,9 @@ Flags (libFM-compatible; -name value):
   -distributed 1 to initialize jax.distributed multi-host SPMD (or set
                SVBFM_COORDINATOR/SVBFM_NUM_PROCESSES/SVBFM_PROCESS_ID)
   -feature_shards  shard the w/v parameter tables over this many devices
-               (tensor parallelism over a (data, feature) mesh; vb/mcmc/als
-               only; device count must be divisible by it) — use when D*K
-               outgrows one device's HBM (extension)
+               (tensor parallelism over a (data, feature) mesh; vb/mcmc/
+               als/vb_online/sgd; device count must be divisible by it) —
+               use when D*K outgrows one device's HBM (extension)
   -help        this screen
 """
 
@@ -349,9 +349,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     fs = cmd.get_int("feature_shards", 1)
     tp_mesh = None
     if fs > 1:
-        if method not in ("mcmc", "als", "vb", "vb_online"):
+        if method not in ("mcmc", "als", "vb", "vb_online", "sgd"):
             raise SystemExit(
-                "-feature_shards supports vb/mcmc/als/vb_online only")
+                "-feature_shards supports vb/mcmc/als/vb_online/sgd only")
         if cmd.has("relation"):
             raise SystemExit("-feature_shards is not supported with native "
                              "-relation block structure")
@@ -424,8 +424,12 @@ def main(argv: Optional[list[str]] = None) -> int:
             else:
                 learner = OVBLearner(cfg, tr_ds, te_ds, meta, bins=bins)
     elif method == "sgd":
-        from svbfm_tpu.learners.sgd import SGDLearner
-        learner = SGDLearner(cfg, tr_ds, te_ds, meta)
+        if tp_mesh is not None:
+            from svbfm_tpu.parallel.tp_sgd import TPSGDLearner
+            learner = TPSGDLearner(cfg, tr_ds, te_ds, meta, mesh=tp_mesh)
+        else:
+            from svbfm_tpu.learners.sgd import SGDLearner
+            learner = SGDLearner(cfg, tr_ds, te_ds, meta)
     elif method == "sgd_online":
         from svbfm_tpu.learners.sgd import SGDOnlineLearner
         if defer_train:

@@ -1333,9 +1333,27 @@ class MCMCLearner:
         key, kinit = jax.random.split(key)
         params = init_fm_params(kinit, cfg.num_attributes, cfg.num_factor,
                                 init_stdev=cfg.init_stdev, init_w_normal=True)
-        yhat = self._scores(params.w0, params.w, params.v,
-                            self.train_row.ids, self.train_row.vals)
-        e = yhat - self.train_row.target  # e = yhat - y (MCMC sign convention)
+        ids, vals = self.train_row.ids, self.train_row.vals
+        n_rows = ids.shape[0]
+        # at huge single-chip N the one-shot forward pass materializes a
+        # [1+K, N] channel-stacked gather temp (~18 GB at Netflix-100M);
+        # compute the init residual in bounded row slices instead (init
+        # runs once — a python loop is fine).  Multi-device meshes keep
+        # the one-shot path: row slicing would reshard across devices.
+        # Same valve as vb.VBLearner.init_state.
+        row_chunk = 16 * 1024 * 1024
+        if self.mesh.devices.size == 1 and n_rows > row_chunk:
+            parts = []
+            for lo in range(0, n_rows, row_chunk):
+                hi = min(lo + row_chunk, n_rows)
+                s = self._scores(params.w0, params.w, params.v,
+                                 ids[lo:hi], vals[lo:hi])
+                parts.append(s - self.train_row.target[lo:hi])
+                jax.block_until_ready(parts[-1])  # bound in-flight temps
+            e = jnp.concatenate(parts)
+        else:
+            yhat = self._scores(params.w0, params.w, params.v, ids, vals)
+            e = yhat - self.train_row.target  # e = yhat - y (MCMC sign)
         G, K = cfg.num_groups, cfg.num_factor
         state = MCMCState(
             w0=params.w0, w=params.w, v=params.v,

@@ -211,10 +211,10 @@ def test_cli_verbosity_debug(data_files, tmp_path, capsys):
     assert "num_attributes=" not in out and "#attr=" not in out
 
 
-@pytest.mark.parametrize("method", ["vb", "mcmc", "als"])
+@pytest.mark.parametrize("method", ["vb", "mcmc", "als", "sgd"])
 def test_cli_feature_shards(data_files, tmp_path, method):
-    """-feature_shards routes vb/mcmc/als to the tensor-parallel learners
-    over a (data, feature) mesh and still writes predictions."""
+    """-feature_shards routes vb/mcmc/als/sgd to the tensor-parallel
+    learners over a (data, feature) mesh and still writes predictions."""
     d, trf, tef, gf = data_files
     out = str(tmp_path / "pred.txt")
     rc = _run_cli(["-task", "r", "-train", trf, "-test", tef,
@@ -230,7 +230,7 @@ def test_cli_feature_shards_rejects_unsupported(data_files, tmp_path):
     d, trf, tef, gf = data_files
     with pytest.raises(SystemExit):
         _run_cli(["-task", "r", "-train", trf, "-test", tef,
-                  "-dim", "1,1,4", "-iter", "2", "-method", "sgd",
+                  "-dim", "1,1,4", "-iter", "2", "-method", "exp_sgd",
                   "-feature_shards", "4"], tmp_path)
 
 
