@@ -60,9 +60,9 @@ Flags (libFM-compatible; -name value):
   -rlog        TSV metrics file
   -seed        RNG seed (honored, unlike the reference)
   -relation    BS relation file prefixes (comma separated)
-  -cache_size  bytes of HBM for windowed row data: -method vb trains
-               out-of-core (HBM-windowed sweeps, resident caches; the
-               reference's LargeSparseMatrixHD path); other methods
+  -cache_size  bytes of HBM for windowed row data: -method vb/mcmc/als
+               train out-of-core (HBM-windowed sweeps, resident caches;
+               the reference's LargeSparseMatrixHD path); other methods
                accept it for compatibility and stay HBM-resident
   -bins        column-bin mode: auto|fields|greedy|jacobi (extension)
   -factor_block  factors per sweep block; 0=all (fast), 1=reference-exact
@@ -228,7 +228,7 @@ def main(argv: Optional[list[str]] = None) -> int:
     from svbfm_tpu.data.binary import has_binary
     cache_bytes = cmd.get_int("cache_size", 0)
     defer_train = ((method in ("vb_online", "sgd_online")
-                    or (method == "vb" and cache_bytes > 0))
+                    or (method in ("vb", "mcmc", "als") and cache_bytes > 0))
                    and has_binary(train_file) and not cmd.has("relation"))
     reader = None
     if defer_train:
@@ -376,6 +376,22 @@ def main(argv: Optional[list[str]] = None) -> int:
             learner = cls(cfg, tr_ds, te_ds, meta, mesh=tp_mesh, bins=bins,
                           write_files=True, w_lambda_init=w_lambda,
                           v_lambda_init=v_lambda)
+        elif cache_bytes > 0:
+            # out-of-core batch Gibbs/ALS: HBM-windowed sweeps with
+            # resident e/q caches (the reference's LargeSparseMatrixHD
+            # path feeds MCMC too, fmatrix.h:110-233 / Data.h:112-171)
+            from svbfm_tpu.learners.mcmc_windowed import (
+                WindowedALSLearner, WindowedMCMCLearner)
+            if cmd.get_int("num_eval_cases", 0):
+                raise SystemExit("-num_eval_cases is not supported with "
+                                 "-cache_size")
+            if cmd.has("checkpoint"):
+                raise SystemExit("-checkpoint is not supported with "
+                                 "-cache_size yet")
+            cls = WindowedALSLearner if als else WindowedMCMCLearner
+            learner = cls(cfg, reader if defer_train else tr_ds, te_ds,
+                          meta, cache_bytes=cache_bytes, bins=bins,
+                          w_lambda_init=w_lambda, v_lambda_init=v_lambda)
         else:
             from svbfm_tpu.learners.mcmc import ALSLearner, MCMCLearner
             cls = ALSLearner if als else MCMCLearner

@@ -356,3 +356,28 @@ def test_cli_cache_size_windowed_vb(data_files, tmp_path):
     fe = [float(x) for x in
           (windowed / "free_energy_114_vb").read_text().split()]
     assert all(np.isfinite(fe))
+
+
+@pytest.mark.parametrize("method", ["mcmc", "als"])
+def test_cli_cache_size_windowed_mcmc(data_files, tmp_path, method):
+    """-cache_size trains batch Gibbs/ALS out-of-core (HBM-windowed) from
+    the reference binary format and matches the resident trajectory (the
+    windowed learner mirrors the resident RNG key chain exactly)."""
+    from svbfm_tpu.data.binary import save_coo_binary
+    from svbfm_tpu.data.libfm_text import load_libfm_text
+    d, trf, tef, gf = data_files
+    tr = load_libfm_text(trf)
+    save_coo_binary(str(tmp_path / "trbin"), tr)
+    common = ["-task", "r", "-test", tef, "-dim", "1,1,4", "-method", method,
+              "-iter", "3", "-seed", "3", "-factor_block", "2"]
+    resident = tmp_path / "resident"
+    windowed = tmp_path / "windowed"
+    resident.mkdir(), windowed.mkdir()
+    assert _run_cli(common + ["-train", trf], str(resident)) == 0
+    assert _run_cli(common + ["-train", str(tmp_path / "trbin"),
+                              "-cache_size", "100000"], str(windowed)) == 0
+    ref = [float(x) for x in
+           (resident / "test_rmse_114_mcmc").read_text().split()]
+    win = [float(x) for x in
+           (windowed / "test_rmse_114_mcmc").read_text().split()]
+    np.testing.assert_allclose(win, ref, rtol=5e-4, atol=5e-5)
