@@ -8,7 +8,10 @@ q/tq/tz caches stay device-resident.  Netflix-shaped synthetic ratings
 (the generator of bench_vb_big, row count scaled up).
 
 Usage: python scripts/bench_vb_windowed.py [rows] [K] [factor_block]
-                                           [iters] [num_windows]
+                                           [iters] [num_windows] [method]
+
+``method`` is ``vb`` (default), ``mcmc`` (windowed Gibbs) or ``als``
+(learners.mcmc_windowed — the -cache_size path for the MCMC family).
 """
 
 import os as _os
@@ -31,6 +34,7 @@ def main() -> None:
     fb = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     nwin = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    method = sys.argv[6] if len(sys.argv) > 6 else "vb"
 
     t0 = time.perf_counter()
     train, test = make_split(rows)
@@ -41,6 +45,8 @@ def main() -> None:
 
     from svbfm_tpu.data.meta import DataMetaInfo
     from svbfm_tpu.learners.base import FMConfig
+    from svbfm_tpu.learners.mcmc_windowed import (WindowedALSLearner,
+                                                  WindowedMCMCLearner)
     from svbfm_tpu.learners.vb_windowed import WindowedVBLearner
 
     D = train.num_features
@@ -48,15 +54,18 @@ def main() -> None:
     cfg = FMConfig(num_attributes=D, num_factor=K, factor_block=fb,
                    min_target=train.min_target, max_target=train.max_target,
                    num_groups=meta.num_attr_groups, seed=7)
+    cls = {"vb": WindowedVBLearner, "mcmc": WindowedMCMCLearner,
+           "als": WindowedALSLearner}[method]
     t0 = time.perf_counter()
-    learner = WindowedVBLearner(cfg, train, test, meta, num_windows=nwin,
-                                write_files=False)
+    learner = cls(cfg, train, test, meta, num_windows=nwin,
+                  write_files=False)
     print(f"# windowed plan built in {time.perf_counter()-t0:.0f} s "
           f"({learner.num_windows} windows x {learner.wlen} rows, "
           f"F={learner.F})", flush=True)
     t0 = time.perf_counter()
     state = learner.init_state()
-    np.asarray(state.mu_0)
+    jax_block = __import__("jax").block_until_ready
+    jax_block(state.e)
     print(f"# init in {time.perf_counter()-t0:.0f} s", flush=True)
 
     t0 = time.perf_counter()
@@ -68,7 +77,8 @@ def main() -> None:
     from svbfm_tpu.utils.profiling import device_memory_stats
     dm = device_memory_stats() or {}
     hbm = dm.get("peak_bytes_in_use", 0) / 2**30
-    print(f"# windowed {rows} rows K={K} fb={fb} windows={learner.num_windows}: "
+    print(f"# windowed {method} {rows} rows K={K} fb={fb} "
+          f"windows={learner.num_windows}: "
           f"{steady:.1f} s/iter steady ({wall:.0f} s total incl. compile), "
           f"rmse {hist[0]['rmse']:.4f} -> {hist[-1]['rmse']:.4f}, "
           f"host RSS {rss:.1f} GiB, device peak {hbm:.1f} GiB", flush=True)
