@@ -134,6 +134,52 @@ def _bench_vb_100m_smoke():
     }
 
 
+def _bench_mcmc_100m_smoke():
+    """Staged Gibbs MCMC at full-Netflix 100M rows, 3 iterations (reduced
+    smoke; steady state = 51.8 s/iter, PARITY_RUNS.md round 5).  Shares
+    the /tmp data + SweepPlan caches with the VB smoke."""
+    import sys as _s
+    import os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(
+        _o.path.abspath(__file__)), "scripts"))
+    from bench_vb_big import NUM_USERS as NU, make_split
+
+    from svbfm_tpu.data.dataset import SweepPlan
+    from svbfm_tpu.data.meta import DataMetaInfo
+    from svbfm_tpu.learners.base import FMConfig
+    from svbfm_tpu.learners.mcmc import MCMCLearner
+
+    rows = 100_000_000
+    train, test = make_split(rows)
+    D = train.num_features
+    meta = DataMetaInfo.from_field_offsets(D, [0, NU])
+    cfg = FMConfig(num_attributes=D, num_factor=K, factor_block=4,
+                   min_target=train.min_target, max_target=train.max_target,
+                   num_groups=meta.num_attr_groups, seed=7)
+    plan_path = f"/tmp/vb_big_plan_{rows}_11.npz"
+    plan = SweepPlan.load(plan_path) if os.path.exists(plan_path) else None
+    learner = MCMCLearner(cfg, train, test, meta, write_files=False,
+                          plan=plan)
+    if plan is None:
+        learner.plan.save(plan_path)
+    state = learner.init_state()
+    t0 = time.perf_counter()
+    state, hist = learner.run(state, num_iter=3, verbose=False)
+    np.asarray(state.w0)
+    wall = time.perf_counter() - t0
+    steady = hist[-1]["time_learn"]
+    ref_sec = 2.78 * rows / 1_000_000  # O(K*nnz) extrapolation
+    return {
+        "metric": "gibbs_netflix100m_k20_staged_sec_per_iter",
+        "value": round(steady, 2),
+        "unit": "s/iter",
+        "vs_baseline": round(ref_sec / steady, 3),
+        "wall_3iters_incl_compile": round(wall, 1),
+        "test_rmse_last": round(hist[-1]["rmse"], 5),
+        "staged": True,
+    }
+
+
 def main() -> None:
     # headline row LAST (the driver parses the final JSON line)
     rows = []
@@ -151,6 +197,12 @@ def main() -> None:
             rows.append(_bench_vb_100m_smoke())
         except Exception as exc:  # pragma: no cover
             rows.append({"metric": "vbfm_netflix100m_k20_staged_sec_per_iter",
+                         "value": 0, "unit": "s/iter", "vs_baseline": 0,
+                         "error": repr(exc)})
+        try:
+            rows.append(_bench_mcmc_100m_smoke())
+        except Exception as exc:  # pragma: no cover
+            rows.append({"metric": "gibbs_netflix100m_k20_staged_sec_per_iter",
                          "value": 0, "unit": "s/iter", "vs_baseline": 0,
                          "error": repr(exc)})
     rows.append(_bench_vb(NUM_USERS, NUM_ITEMS, NUM_TRAIN,
