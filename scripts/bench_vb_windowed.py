@@ -57,9 +57,21 @@ def main() -> None:
     cls = {"vb": WindowedVBLearner, "mcmc": WindowedMCMCLearner,
            "als": WindowedALSLearner}[method]
     t0 = time.perf_counter()
+    # the windowed plan build is a ~12-minute host pass at 263M; pickle it
+    # so retries and the mcmc/als variants (same plan) skip the build
+    import pickle
+    plan_cache = f"/tmp/vbwin_plan_{rows}_{nwin}_11.pkl"
+    plan = None
+    if _os.path.exists(plan_cache):
+        with open(plan_cache, "rb") as f:
+            plan = pickle.load(f)
+        print("# windowed plan loaded from cache", flush=True)
     learner = cls(cfg, train, test, meta, num_windows=nwin,
-                  write_files=False)
-    print(f"# windowed plan built in {time.perf_counter()-t0:.0f} s "
+                  write_files=False, plan=plan)
+    if plan is None:
+        with open(plan_cache, "wb") as f:
+            pickle.dump(learner.plan, f, protocol=4)
+    print(f"# windowed plan ready in {time.perf_counter()-t0:.0f} s "
           f"({learner.num_windows} windows x {learner.wlen} rows, "
           f"F={learner.F})", flush=True)
     t0 = time.perf_counter()

@@ -52,7 +52,8 @@ from svbfm_tpu.learners.mcmc import (
     exact_block_draws,
     zero_nan_counters,
 )
-from svbfm_tpu.learners.vb_windowed import build_windowed_plan
+from svbfm_tpu.learners.vb_windowed import (WindowBackpressure,
+                                            build_windowed_plan)
 from svbfm_tpu.models.fm import init_fm_params
 from svbfm_tpu.ops.forward import fm_scores
 from svbfm_tpu.ops.segment import take_cols, take_rows
@@ -76,7 +77,8 @@ class WindowedMCMCLearner:
                  bins: str = "auto", out_dir: str = ".",
                  write_files: bool = True,
                  w_lambda_init: Optional[np.ndarray] = None,
-                 v_lambda_init: Optional[np.ndarray] = None):
+                 v_lambda_init: Optional[np.ndarray] = None,
+                 plan=None):
         import dataclasses
 
         from svbfm_tpu.data.stream import BinaryChunkReader
@@ -133,9 +135,14 @@ class WindowedMCMCLearner:
         self.cfg = cfg
         self.F = min(cfg.factor_block, K) if K > 0 else 0
 
-        self.plan = build_windowed_plan(
-            lambda w: src_window(bounds[w], bounds[w + 1]),
-            self.num_windows, wlen, D, None, meta.attr_group, n_rows)
+        if plan is not None:
+            assert plan.num_windows == self.num_windows \
+                and plan.wlen == wlen and plan.n_rows == n_rows
+            self.plan = plan
+        else:
+            self.plan = build_windowed_plan(
+                lambda w: src_window(bounds[w], bounds[w + 1]),
+                self.num_windows, wlen, D, None, meta.attr_group, n_rows)
         self.train_n = n_rows
         self.n_pad = self.num_windows * wlen
         self.train_target_np = np.ascontiguousarray(
@@ -574,20 +581,22 @@ class WindowedMCMCLearner:
                 if not buckets:
                     continue
                 acc = None
+                bp = WindowBackpressure(lag=1)
                 for wi in range(self.num_windows):
                     barrs = []
                     for bu in buckets:
                         barrs += [jax.device_put(bu.rows[wi]),
                                   jax.device_put(bu.x[wi])]
-                    part = self._p_wstats[b](e, lo_of(wi), *barrs)
+                    part = bp(self._p_wstats[b](e, lo_of(wi), *barrs))
                     acc = part if acc is None else tuple(
                         a + q for a, q in zip(acc, part))
                 w, dw, nan_w, inf_w = self._p_wdraw[b](
                     w, state.w_mu, state.w_lambda, state.alpha, zw_d,
                     nan_w, inf_w, *acc)
+                bp = WindowBackpressure()
                 for wi in range(self.num_windows):
                     ids_w, vals_w = self._put_window(wi)
-                    e = self._p_wpatch(dw, e, ids_w, vals_w, lo_of(wi))
+                    e = bp(self._p_wpatch(dw, e, ids_w, vals_w, lo_of(wi)))
             w, nan_w, inf_w = self._p_wunobs(w, state.w_mu, state.w_lambda,
                                              zw_d, nan_w, inf_w)
 
@@ -610,30 +619,34 @@ class WindowedMCMCLearner:
                 else:
                     z_d = jnp.zeros((F, v.shape[1]), jnp.float32)
                 v_tt = v_t.T  # [F, D]
+                bp = WindowBackpressure()
                 for wi in range(self.num_windows):
                     ids_w, vals_w = self._put_window(wi)
-                    fq = self._p_build(v_tt, fq, ids_w, vals_w, lo_of(wi))
+                    fq = bp(self._p_build(v_tt, fq, ids_w, vals_w,
+                                          lo_of(wi)))
                 for bi, buckets in enumerate(self.plan.bins):
                     if not buckets:
                         continue
                     acc = None
+                    bp = WindowBackpressure(lag=1)
                     for wi in range(self.num_windows):
                         barrs = []
                         for bu in buckets:
                             barrs += [jax.device_put(bu.rows[wi]),
                                       jax.device_put(bu.x[wi])]
-                        part = self._p_stats[bi](e, fq, v_t, lo_of(wi),
-                                                 *barrs)
+                        part = bp(self._p_stats[bi](e, fq, v_t, lo_of(wi),
+                                                    *barrs))
                         flat = [x for tup in part for x in tup]
                         acc = flat if acc is None else [
                             a + x for a, x in zip(acc, flat)]
                     v_t, dtab, nan_v, inf_v = self._p_draw[bi](
                         v_t, mu_t, lam_t, state.alpha, z_d, nan_v, inf_v,
                         *acc)
+                    bp = WindowBackpressure()
                     for wi in range(self.num_windows):
                         ids_w, vals_w = self._put_window(wi)
-                        e, fq = self._p_patch(dtab, e, fq, ids_w, vals_w,
-                                              lo_of(wi))
+                        e, fq = bp(self._p_patch(dtab, e, fq, ids_w,
+                                                 vals_w, lo_of(wi)))
                 key, sub = jax.random.split(key)
                 v_t, nan_v, inf_v = self._p_vunobs(v_t, mu_t, lam_t, sub,
                                                    nan_v, inf_v)
@@ -643,12 +656,13 @@ class WindowedMCMCLearner:
         # --- C: full re-predict + eval (+ classification resampling) ---
         state = state.replace(w=w, v=v, e=e, key=key)
         e = state.e
+        bp = WindowBackpressure()
         for wi in range(self.num_windows):
             lo = wi * Wlen
             ids_w, vals_w = self._put_window(wi)
             y_w = jnp.asarray(self._train_y[lo:lo + Wlen])
-            e = self._p_repredict(state.w0, state.w, state.v, e,
-                                  ids_w, vals_w, y_w, lo_of(wi))
+            e = bp(self._p_repredict(state.w0, state.w, state.v, e,
+                                     ids_w, vals_w, y_w, lo_of(wi)))
         state = state.replace(e=e)
         psum_all, psum_but5, metrics = self._p_eval(
             state, psum_all, psum_but5, jnp.asarray(it, jnp.int32),
@@ -656,11 +670,12 @@ class WindowedMCMCLearner:
         if cfg.task != TASK_REGRESSION:
             key, sub = jax.random.split(state.key)
             e = state.e
+            bp = WindowBackpressure()
             for wi in range(self.num_windows):
                 lo = wi * Wlen
                 y_w = jnp.asarray(self._train_y[lo:lo + Wlen])
-                e = self._p_resample(e, y_w, sub, lo_of(wi),
-                                     jnp.asarray(wi, jnp.int32))
+                e = bp(self._p_resample(e, y_w, sub, lo_of(wi),
+                                        jnp.asarray(wi, jnp.int32)))
             state = state.replace(e=e, key=key)
         metrics = dict(metrics, nan_w=nan_w, inf_w=inf_w, nan_v=nan_v,
                        inf_v=inf_v, nan_alpha=nans["nan_alpha"],

@@ -61,6 +61,44 @@ from svbfm_tpu.ops.forward import fm_scores, fm_t_terms
 from svbfm_tpu.ops.segment import take_rows
 
 
+class WindowBackpressure:
+    """Readiness wait for per-window program loops.
+
+    Without it the host dispatches an entire sweep's window passes
+    asynchronously (nothing blocks until the end-of-iteration metrics
+    fetch) and the tunneled TPU client PINS a host copy of every
+    uploaded window/bucket array until its execution completes — ~70 GB
+    per sweep at KDD-263M, which OOM-kills the process (observed round
+    5).  ``lag=0`` blocks on each window's own output before the next
+    dispatch — required for the patch/build chains whose outputs are
+    DONATED into the next call (blocking later would hit a deleted
+    buffer).  ``lag=1`` blocks on window w-1's output after it was
+    consumed by the (non-donating) stats accumulation, keeping one
+    window of upload/compute overlap for the bucket uploads, the
+    largest H2D volume.  block_until_ready is a readiness wait, not a
+    relay drain (PARITY_RUNS round-4 streaming notes)."""
+
+    def __init__(self, lag: int = 0):
+        from collections import deque
+        self._lag = lag
+        self._q = deque()
+
+    def __call__(self, out):
+        import jax as _jax
+        leaves = _jax.tree.leaves(out)
+        leaf = leaves[0] if leaves else None
+        if self._lag == 0:
+            if leaf is not None:
+                _jax.block_until_ready(leaf)
+            return out
+        self._q.append(leaf)
+        if len(self._q) > self._lag:
+            prev = self._q.popleft()
+            if prev is not None:
+                _jax.block_until_ready(prev)
+        return out
+
+
 # ---------------------------------------------------------------------------
 # Global windowed plan
 # ---------------------------------------------------------------------------
@@ -258,7 +296,7 @@ class WindowedVBLearner:
                  num_windows: Optional[int] = None,
                  cache_bytes: Optional[int] = None,
                  bins: str = "auto", out_dir: str = ".",
-                 write_files: bool = True):
+                 write_files: bool = True, plan=None):
         import dataclasses
 
         from svbfm_tpu.data.stream import BinaryChunkReader
@@ -321,10 +359,17 @@ class WindowedVBLearner:
         # builder's first pass and merged (exact for the paper's one-hot
         # datasets — a single-window probe could mislabel boundary columns
         # absent from that window); non-field data falls back to one
-        # Jacobi bin with the same loud warning as SweepPlan.build
-        self.plan = build_windowed_plan(
-            lambda w: src_window(bounds[w], bounds[w + 1]),
-            self.num_windows, wlen, D, None, meta.attr_group, n_rows)
+        # Jacobi bin with the same loud warning as SweepPlan.build.
+        # ``plan`` short-circuits the build (minutes at 263M rows; the
+        # big-bench scripts pickle it) — must match (data, num_windows).
+        if plan is not None:
+            assert plan.num_windows == self.num_windows \
+                and plan.wlen == wlen and plan.n_rows == n_rows
+            self.plan = plan
+        else:
+            self.plan = build_windowed_plan(
+                lambda w: src_window(bounds[w], bounds[w + 1]),
+                self.num_windows, wlen, D, None, meta.attr_group, n_rows)
         self.train_n = n_rows
         self.n_pad = self.num_windows * wlen
         self.train_target_np = np.asarray(targets, np.float32)
@@ -690,20 +735,22 @@ class WindowedVBLearner:
                 if not buckets:
                     continue
                 acc = None
+                bp = WindowBackpressure(lag=1)
                 for w in range(self.num_windows):
                     barrs = []
                     for bu in buckets:
                         barrs += [jax.device_put(bu.rows[w]),
                                   jax.device_put(bu.x[w])]
-                    part = self._p_wstats[b](e, lo_of(w), *barrs)
+                    part = bp(self._p_wstats[b](e, lo_of(w), *barrs))
                     acc = part if acc is None else tuple(
                         a + q for a, q in zip(acc, part))
                 mu_w, sig_w, dtab, nan_w = self._p_wdraw[b](
                     mu_w, sig_w, state.sigma_w, state.alpha, nan_w, *acc)
+                bp = WindowBackpressure()
                 for w in range(self.num_windows):
                     ids_w, vals_w = self._put_window(w)
-                    e, t = self._p_wpatch(dtab, e, t, ids_w, vals_w,
-                                          lo_of(w))
+                    e, t = bp(self._p_wpatch(dtab, e, t, ids_w, vals_w,
+                                             lo_of(w)))
 
         # --- v sweeps, factor blocks ---
         mu_v, sig_v = state.mu_v, state.sigma_v_dash
@@ -716,31 +763,35 @@ class WindowedVBLearner:
                 mu_t = mu_v[fs].T  # [D, F]
                 sig_t = sig_v[fs].T
                 sv_t = sv_dk[:, fs]
+                bp = WindowBackpressure()
                 for w in range(self.num_windows):
                     ids_w, vals_w = self._put_window(w)
-                    fq, ftq, ftz = self._p_build(mu_t, sig_t, fq, ftq, ftz,
-                                                 ids_w, vals_w, lo_of(w))
+                    fq, ftq, ftz = bp(self._p_build(mu_t, sig_t, fq, ftq,
+                                                    ftz, ids_w, vals_w,
+                                                    lo_of(w)))
                 for bi, buckets in enumerate(self.plan.bins):
                     if not buckets:
                         continue
                     acc = None
+                    bp = WindowBackpressure(lag=1)
                     for w in range(self.num_windows):
                         barrs = []
                         for bu in buckets:
                             barrs += [jax.device_put(bu.rows[w]),
                                       jax.device_put(bu.x[w])]
-                        part = self._p_stats[bi](e, fq, ftq, mu_t, sig_t,
-                                                 lo_of(w), *barrs)
+                        part = bp(self._p_stats[bi](e, fq, ftq, mu_t, sig_t,
+                                                    lo_of(w), *barrs))
                         flat = [x for tup in part for x in tup]
                         acc = flat if acc is None else [
                             a + x for a, x in zip(acc, flat)]
                     mu_t, sig_t, dtab, nan_v = self._p_draw[bi](
                         mu_t, sig_t, sv_t, state.alpha, nan_v, *acc)
+                    bp = WindowBackpressure()
                     for w in range(self.num_windows):
                         ids_w, vals_w = self._put_window(w)
-                        e, t, fq, ftq, ftz = self._p_patch(
+                        e, t, fq, ftq, ftz = bp(self._p_patch(
                             dtab, e, t, fq, ftq, ftz, ids_w, vals_w,
-                            lo_of(w))
+                            lo_of(w)))
                 mu_v = mu_v.at[fs].set(mu_t.T)
                 sig_v = sig_v.at[fs].set(sig_t.T)
             self._fq, self._ftq, self._ftz = fq, ftq, ftz
