@@ -62,26 +62,38 @@ from svbfm_tpu.ops.segment import take_rows
 
 
 class WindowBackpressure:
-    """Readiness wait for per-window program loops.
+    """Per-window host-pinning release for per-window program loops.
 
     Without it the host dispatches an entire sweep's window passes
     asynchronously (nothing blocks until the end-of-iteration metrics
     fetch) and the tunneled TPU client PINS a host copy of every
-    uploaded window/bucket array until its execution completes — ~70 GB
-    per sweep at KDD-263M, which OOM-kills the process (observed round
-    5).  ``lag=0`` blocks on each window's own output before the next
-    dispatch — required for the patch/build chains whose outputs are
-    DONATED into the next call (blocking later would hit a deleted
-    buffer).  ``lag=1`` blocks on window w-1's output after it was
-    consumed by the (non-donating) stats accumulation, keeping one
-    window of upload/compute overlap for the bucket uploads, the
-    largest H2D volume.  block_until_ready is a readiness wait, not a
-    relay drain (PARITY_RUNS round-4 streaming notes)."""
+    uploaded window/bucket array — ~70 GB per sweep at KDD-263M, which
+    OOM-kills the process (observed round 5).  A ``block_until_ready``
+    readiness wait is NOT enough: it returns when execution completes
+    but the relay client still holds the upload copies (second OOM,
+    105 GB RSS with lag-0 readiness waits).  Only a VALUE fetch drains
+    the relay and releases the pins (the round-4 SVBFM_STREAM_DRAIN
+    finding), so this fetches ONE scalar element of each window's
+    output.  Unlike the streaming pipeline (independent chunk programs
+    whose overlap a drain destroys — the +60% epoch cost that keeps
+    STREAM_DRAIN off by default), the windowed passes are sequential
+    on the device anyway, so the drain costs only a tunnel round-trip
+    per window.  ``lag=0`` fetches each window's own output before the
+    next dispatch — required for the patch/build chains whose outputs
+    are DONATED into the next call.  ``lag=1`` fetches window w-1's
+    output after it was consumed by the (non-donating) stats
+    accumulation, keeping one window of upload/compute overlap."""
 
     def __init__(self, lag: int = 0):
         from collections import deque
         self._lag = lag
         self._q = deque()
+
+    @staticmethod
+    def _fetch(leaf):
+        import jax as _jax
+        import jax.numpy as _jnp
+        _jax.device_get(_jnp.reshape(leaf, (-1,))[0])
 
     def __call__(self, out):
         import jax as _jax
@@ -89,13 +101,13 @@ class WindowBackpressure:
         leaf = leaves[0] if leaves else None
         if self._lag == 0:
             if leaf is not None:
-                _jax.block_until_ready(leaf)
+                self._fetch(leaf)
             return out
         self._q.append(leaf)
         if len(self._q) > self._lag:
             prev = self._q.popleft()
             if prev is not None:
-                _jax.block_until_ready(prev)
+                self._fetch(prev)
         return out
 
 
