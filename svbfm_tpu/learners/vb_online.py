@@ -1148,6 +1148,18 @@ class OVBLearner:
             # device_get drain (+60% epoch), readiness waits do not flush
             # the relay pipeline.
             window = int(_os.environ.get("SVBFM_STREAM_WINDOW", "0"))
+            # SVBFM_STREAM_FETCH_BG=k: fetch every chunk's fe scalar from a
+            # BACKGROUND thread, bounding outstanding fetches at ~k.  Only a
+            # value FETCH releases the tunnel client's pinned host copy of a
+            # chunk's uploads (the windowed-learner finding — readiness
+            # waits free nothing), and an in-loop fetch drains the relay
+            # pipeline (+60% epoch, the DRAIN knob above); a concurrent
+            # fetch thread keeps dispatch flowing while the k-old fetches
+            # retire pins, so dispatch stays ~k chunks ahead of the last
+            # RETIRED chunk without the main loop ever blocking on a drain.
+            fetch_bg = int(_os.environ.get("SVBFM_STREAM_FETCH_BG", "0"))
+            fetcher = ThreadPoolExecutor(1) if fetch_bg > 0 else None
+            fetch_futs = deque()
             for idx, ci in enumerate(order):
                 row, blocks = futs.popleft().result()
                 top_up()
@@ -1156,10 +1168,18 @@ class OVBLearner:
                     jnp.asarray(float(self.chunk_sizes[ci]), jnp.float32))
                 fes.append(fe)
                 nans_acc.append(nans)
-                if drain > 0 and idx >= drain and idx % drain == 0:
+                if fetcher is not None:
+                    fetch_futs.append(fetcher.submit(jax.device_get, fe))
+                    while len(fetch_futs) > fetch_bg:
+                        fetch_futs.popleft().result()
+                elif drain > 0 and idx >= drain and idx % drain == 0:
                     jax.device_get(fes[idx - drain])
                 elif window > 0 and idx >= window:
                     jax.block_until_ready(fes[idx - window])
+            if fetcher is not None:
+                while fetch_futs:
+                    fetch_futs.popleft().result()
+                fetcher.shutdown(wait=True)
             # one host transfer for all chunk free-energies + eval metrics
             # (per-value np.asarray costs a tunnel round-trip each)
             t_pred = _time.perf_counter()
